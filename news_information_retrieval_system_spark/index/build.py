@@ -1,0 +1,122 @@
+"""Inverted-index build as declarative DataFrame transformations.
+
+Reference semantics (what, not how):
+* build: tokenize each doc, count TF, postings sorted by doc_id
+  (src/ir/index/inverted_index.py:107-169; sort invariant :52-54)
+* doc lengths + avgdl (src/ir/retrieval/bm25.py:151-176)
+* BM25 IDF ln(1 + (N - df + 0.5)/(df + 0.5)) precomputed per term
+  (src/ir/retrieval/bm25.py:187-204, src/ir_app/services/index_service.py:293-295)
+* positional index: term → doc → sorted token positions
+  (src/ir/index/positional_index.py:92-152)
+
+Spark-first design decisions:
+* The PRIMARY postings shape is FLAT ``(term, doc_id, tf, dl)`` — one row
+  per posting. Hot terms are spread across partitions instead of being one
+  giant array row, every ranker is a join+agg away, and Catalyst can
+  push/prune/reorder freely. The grouped/compressed block form lives in
+  ``codec.py``/``segments.py`` and is derived from this one.
+* ``dl`` is denormalized into the postings at build time (it is
+  functionally dependent on doc_id, so adding it to the groupBy key is
+  free) — this removes the query-time doc_stats shuffle join entirely:
+  the whole BM25 query path is broadcast-join → agg → top-k, ONE shuffle.
+* Corpus stats (N, avgdl) are a 1-row DataFrame, broadcast-cross-joined
+  where needed, so plans stay lazy end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokenizer
+
+
+@dataclass
+class FulltextIndex:
+    """The one set of tables that feeds every ranker (mirrors the
+    reference's single lexical cache feeding all adapters,
+    src/ir_app/services/index_service.py:308-392)."""
+
+    postings: DataFrame  # (term, doc_id, tf, dl)
+    term_stats: DataFrame  # (term, df, idf)
+    doc_stats: DataFrame  # (doc_id, dl)
+    stats: DataFrame  # 1 row: (n_docs, avgdl)
+    docs: DataFrame  # source docs incl. doc_id (NOT universe, hydration)
+
+    def persist(self) -> "FulltextIndex":
+        self.postings.persist()
+        self.term_stats.persist()
+        self.doc_stats.persist()
+        self.stats.persist()
+        return self
+
+    def unpersist(self) -> "FulltextIndex":
+        for df in (self.postings, self.term_stats, self.doc_stats, self.stats):
+            df.unpersist()
+        return self
+
+    def scalar_stats(self) -> tuple[int, float]:
+        row = self.stats.first()
+        return int(row["n_docs"]), float(row["avgdl"])
+
+
+def tokens_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", mode: str = "fast"
+) -> DataFrame:
+    tok = tokenizer(mode)
+    return docs.select(F.col(id_col).alias("doc_id"), tok(text_col).alias("tokens"))
+
+
+def build_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "fast",
+) -> FulltextIndex:
+    """docs(doc_id, text, ...) → FulltextIndex. Pure transformations."""
+    toks = tokens_df(docs, text_col, id_col, tokenizer_mode)
+    doc_stats = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # dl rides along through the explode: functionally dependent on doc_id,
+    # so groupBy(term, doc_id, dl) costs nothing and kills the stats join.
+    postings = (
+        toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    term_stats = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .select("term", "df", "idf")
+    )
+    src = docs if id_col == "doc_id" else docs.withColumn("doc_id", F.col(id_col))
+    return FulltextIndex(postings, term_stats, doc_stats, stats, src)
+
+
+def build_positional(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "fast",
+) -> DataFrame:
+    """(term, doc_id, positions sorted array<int>) — reference
+    positional_index.py:92-152 semantics via posexplode."""
+    toks = tokens_df(docs, text_col, id_col, tokenizer_mode)
+    return (
+        toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
