@@ -95,6 +95,9 @@ class OracleIndex:
         cf = Counter()
         for t, p in self.postings.items():
             cf[t] = sum(p.values())
+        # terms unseen in the collection (p(t|C)=0) are dropped — they would
+        # contribute -inf to every candidate equally
+        terms = [t for t in terms if t in self.postings]
         candidates = set()
         for t in terms:
             candidates.update(self.postings.get(t, {}))
@@ -102,16 +105,11 @@ class OracleIndex:
         for d in candidates:
             dl = self.dl[d]
             s = 0.0
-            ok = True
             for t in terms:
-                p_c = cf.get(t, 0) / total_tokens if total_tokens else 0.0
-                if p_c == 0.0:
-                    ok = False
-                    break
+                p_c = cf[t] / total_tokens
                 tf = self.postings.get(t, {}).get(d, 0)
                 s += math.log((tf + mu * p_c) / (dl + mu))
-            if ok:
-                scored.append((d, s))
+            scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 

@@ -1,0 +1,62 @@
+"""Query-likelihood language-model retrieval (Dirichlet / Jelinek-Mercer).
+
+Reference: src/ir/retrieval/language_model_retrieval.py:190-413 — Dirichlet
+``p(t|D) = (tf + μ·p(t|C)) / (dl + μ)`` (μ=2000 default, app wires μ via
+index_service.py:383-387), JM ``λ·p(t|D) + (1-λ)·p(t|C)`` (λ=0.7); log-space
+sum over query terms; candidates = union of postings. Query terms unseen in
+the collection are dropped (they shift every candidate equally by -inf).
+
+Plan: candidates × query-terms cross (broadcast, |cand|·|Q| rows) with a
+left join back to postings for tf — the absent-term tf=0 case is what makes
+LM different from the additive BM25/BIM shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.build import FulltextIndex
+from .bm25 import topk
+
+
+def collection_stats(index: FulltextIndex) -> DataFrame:
+    """(term, cf, p_c): collection term frequency and unigram probability."""
+    cf = index.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = index.doc_stats.agg(F.sum("dl").alias("total_tokens"))
+    return cf.join(F.broadcast(total), how="cross").withColumn(
+        "p_c", F.col("cf") / F.col("total_tokens")
+    ).select("term", "cf", "p_c")
+
+
+def score_lm(
+    index: FulltextIndex,
+    qterms: DataFrame,
+    mu: float = 2000.0,
+    lam: float | None = None,
+) -> DataFrame:
+    """Dirichlet by default; pass ``lam`` for Jelinek-Mercer instead."""
+    if "qtf" not in qterms.columns:
+        qterms = qterms.withColumn("qtf", F.lit(1))
+    qcf = collection_stats(index).join(F.broadcast(qterms), "term")  # drops unseen
+    hits = index.postings.join(
+        F.broadcast(qcf.select("query_id", "term").distinct()), "term"
+    )
+    cand = hits.select("query_id", "doc_id", "dl").distinct()
+    # every candidate scores EVERY term of ITS query (tf=0 when absent)
+    cross = cand.join(F.broadcast(qcf), "query_id")
+    tf = index.postings.select("term", "doc_id", "tf")
+    scored = cross.join(tf, ["term", "doc_id"], "left").fillna({"tf": 0})
+    if lam is None:
+        p = (F.col("tf") + mu * F.col("p_c")) / (F.col("dl") + F.lit(mu))
+    else:
+        p = lam * F.col("tf") / F.col("dl") + (1.0 - lam) * F.col("p_c")
+    return (
+        scored.withColumn("contrib", F.col("qtf") * F.log(p))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def lm_topk(index: FulltextIndex, qterms: DataFrame, k: int = 10, mu: float = 2000.0) -> DataFrame:
+    return topk(score_lm(index, qterms, mu=mu), k=k)
