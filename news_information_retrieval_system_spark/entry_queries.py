@@ -215,6 +215,28 @@ def q_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_out(fused)
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed block index — must be
+    rank-identical to q_bm25_topk (shares its oracle SQL)."""
+    from .index.segments import build_blocked_postings
+    from .query.wand import wand_topk
+
+    idx = _index(spark, sf_dir)
+    n_docs, avgdl = idx.scalar_stats()
+    key = ("blocks", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_blocked_postings(idx.postings).persist()
+    blocks = _INDEX_CACHE[key]
+    qidf = _qterms(spark).join(idx.term_stats.select("term", "idf"), "term")
+    out = wand_topk(blocks, qidf, n_docs, avgdl, k=TOPK, k1=K1, b=B)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["tok_counts"] = f"""{_SQL_BASE}
@@ -339,6 +361,9 @@ FROM rk WHERE rank <= {TOPK}
 """
 
 
+ORACLES["wand_topk"] = ORACLES["bm25_topk"]
+
+
 def registry() -> dict:
     return {
         "tok_counts": q_tok_counts,
@@ -350,4 +375,5 @@ def registry() -> dict:
         "bim_topk": q_bim_topk,
         "lm_topk": q_lm_topk,
         "rrf_topk": q_rrf_topk,
+        "wand_topk": q_wand_topk,
     }
