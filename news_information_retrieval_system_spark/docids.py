@@ -3,43 +3,82 @@
 The reference assigns dense 0..N-1 ids by enumeration order at build time
 (src/ir/index/inverted_index.py:138, src/ir/index/doc_reader.py:52-56) —
 that counter is its cross-module primary key. In a distributed build we
-need an id that is (a) stable across runs/partitionings and (b) cheap.
+need ids that are (a) stable across runs/partitionings and (b) cheap.
 
-Two strategies:
+Strategies:
 
-* ``hash``  — ``xxhash64(conv_id) << 20 | turn_idx``: embarrassingly
-  parallel, no shuffle, stable. The 2^20 turn budget per conversation keeps
-  ids unique as long as turn_idx < 1,048,576. Default at scale.
-* ``dense`` — global ``row_number() - 1`` ordered by (conv_id, turn_idx):
-  matches the reference's dense-universe semantics (needed for NOT-query
-  universes and rank-identity vs the enumeration-order oracle). Costs a
-  global sort — use only when dense ids are semantically required; at
-  100 TB prefer ``hash`` + anti-join NOT semantics.
+* ``dense``  — 0..N-1 in (conv_id, turn_idx) order WITHOUT a global
+  window: repartitionByRange + sortWithinPartitions, then per-partition
+  row counts → cumulative offsets (one tiny collect) → id = offset[pid] +
+  row_within_partition. This is the scalable dense-id pattern; a blocked
+  index wants dense ids so doc-range shards are actually dense. Default.
+* ``dense_window`` — global ``row_number()``: exact reference semantics,
+  single-partition sort; only for small corpora/tests.
+* ``hash``   — ``xxhash64(conv_id) << 20 | turn_idx``: zero-shuffle,
+  stable, but ids are sparse in int64 space — fine for the flat-postings
+  engine, degenerate for doc-range blocking (each block holds ~1 doc).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TURN_BITS = 20
 
 
+def _dense_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    p = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    p = p.sortWithinPartitions(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    p = p.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in p.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in p.drop("_pid").dtypes
+    ) + ", doc_id long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            off = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(off + seen, off + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return p.mapInPandas(assign, schema=out_schema)
+
+
 def with_doc_ids(
     df: DataFrame,
-    method: str = "hash",
+    method: str = "dense",
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
 ) -> DataFrame:
+    if method == "dense":
+        return _dense_ids(df, [conv_col, turn_col])
+    if method == "dense_window":
+        w = Window.orderBy(F.col(conv_col), F.col(turn_col))
+        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
     if method == "hash":
-        # shiftleft keeps ids positive-ordered within a conversation so that
-        # (conv_id, turn_idx) ordering is recoverable from doc_id alone.
         return df.withColumn(
             "doc_id",
             F.shiftleft(F.xxhash64(F.col(conv_col)), TURN_BITS)
             + F.col(turn_col).cast("long"),
         )
-    if method == "dense":
-        w = Window.orderBy(F.col(conv_col), F.col(turn_col))
-        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
     raise ValueError(f"unknown doc_id method: {method}")

@@ -29,6 +29,17 @@ import numpy as np
 _MASK7 = np.uint64(0x7F)
 
 
+def varint_byte_lengths(vals: np.ndarray) -> np.ndarray:
+    """Bytes each value will occupy in the varint stream."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nb
+
+
 def varint_encode(vals: np.ndarray) -> np.ndarray:
     """uint64 array → uint8 varint stream (little-endian base-128,
     continuation MSB set on all but the last byte of each value)."""

@@ -44,20 +44,21 @@ def _ub_col(k1: float, b: float, avgdl: float):
 
 
 def _make_kernel(k: int, k1: float, b: float, avgdl: float, span_bits: int):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Partition-wise DAAT kernel (mapInPandas — one Python call per
+    partition; per-(query, block_key) Arrow round-trips were the
+    bottleneck). Input rows are hash-partitioned and sorted by
+    (query_id, block_key)."""
+
+    def _score_group(g: pd.DataFrame, out: list) -> None:
         # strict <: a group whose UB ties θ may still hold a doc tying the
         # k-th score with a smaller doc_id
-        theta = float(pdf["theta"].iloc[0])
-        if pdf["ub"].sum() < theta:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=object),
-                 "doc_id": pd.Series(dtype=np.int64),
-                 "score": pd.Series(dtype=np.float64)}
-            )
-        qid = pdf["query_id"].iloc[0]
-        base = int(pdf["block_key"].iloc[0]) << span_bits
+        theta = float(g["theta"].iloc[0])
+        if float(g["ub"].sum()) < theta:
+            return
+        qid = g["query_id"].iloc[0]
+        base = int(g["block_key"].iloc[0]) << span_bits
         all_docs, all_contribs = [], []
-        for row in pdf.itertuples(index=False):
+        for row in g.itertuples(index=False):
             d, tf, dl = decode_block(row.data, row.n, base)
             tf = tf.astype(np.float64)
             contrib = (
@@ -77,9 +78,20 @@ def _make_kernel(k: int, k1: float, b: float, avgdl: float, span_bits: int):
             part = np.argpartition(-scores, k - 1)[:k]
         else:
             part = np.arange(uniq.size)
-        return pd.DataFrame(
-            {"query_id": qid, "doc_id": uniq[part], "score": scores[part]}
+        out.append(
+            pd.DataFrame({"query_id": qid, "doc_id": uniq[part], "score": scores[part]})
         )
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out: list = []
+        for _, g in pdf.groupby(["query_id", "block_key"], sort=False):
+            _score_group(g, out)
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     return kernel
 
@@ -98,12 +110,19 @@ def wand_topk(
     """blocks: segments.BLOCK_SCHEMA table. qterms_with_idf: (query_id,
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
     """
-    spark = blocks.sparkSession
     qmeta = blocks.join(F.broadcast(qterms_with_idf), "term").withColumn(
         "ub", _ub_col(k1, b, avgdl)
     )
     kernel_schema = "query_id string, doc_id long, score double"
     kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+    parts = blocks.sparkSession.sparkContext.defaultParallelism
+
+    def run_kernel(df: DataFrame) -> DataFrame:
+        return (
+            df.repartition(parts, "query_id", "block_key")
+            .sortWithinPartitions("query_id", "block_key")
+            .mapInPandas(kernel, schema=kernel_schema)
+        )
 
     if seed_theta:
         ubsum = qmeta.groupBy("query_id", "block_key").agg(
@@ -117,11 +136,10 @@ def wand_topk(
             .filter(F.col("rn") == 1)
             .select("query_id", "block_key")
         )
-        seed_scores = (
-            qmeta.join(F.broadcast(seeds), ["query_id", "block_key"])
-            .withColumn("theta", F.lit(0.0))
-            .groupBy("query_id", "block_key")
-            .applyInPandas(kernel, schema=kernel_schema)
+        seed_scores = run_kernel(
+            qmeta.join(F.broadcast(seeds), ["query_id", "block_key"]).withColumn(
+                "theta", F.lit(0.0)
+            )
         )
         wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         thetas = (
@@ -135,9 +153,7 @@ def wand_topk(
     else:
         qmeta = qmeta.withColumn("theta", F.lit(0.0))
 
-    candidates = qmeta.groupBy("query_id", "block_key").applyInPandas(
-        kernel, schema=kernel_schema
-    )
+    candidates = run_kernel(qmeta)
     wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         candidates.withColumn("rank", F.row_number().over(wk))

@@ -22,7 +22,7 @@ SPAN = 6  # tiny blocks (64-doc ranges) to force multi-block terms in tests
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    docs = with_doc_ids(synth_transcripts(spark, 400, seed=7), method="hash")
+    docs = with_doc_ids(synth_transcripts(spark, 400, seed=7), method="dense")
     docs = docs.select("doc_id", "text").persist()
     docs.count()
     return docs
