@@ -179,6 +179,12 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ranked_out(scored: DataFrame, k: int = TOPK) -> DataFrame:
+    # rank on 9dp-rounded scores everywhere: the DuckDB oracle may compute
+    # sums in a different order, and exact-score ranking would flip
+    # ulp-level near-ties across engines
+    scored = scored.withColumn("_exact", F.col("score")).withColumn(
+        "score", F.round("score", 9)
+    )
     return topk(scored, k=k).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -228,12 +234,25 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INDEX_CACHE[key] = build_blocked_postings(idx.postings).persist()
     blocks = _INDEX_CACHE[key]
     qidf = _qterms(spark).join(idx.term_stats.select("term", "idf"), "term")
-    out = wand_topk(blocks, qidf, n_docs, avgdl, k=TOPK, k1=K1, b=B)
-    return out.select(
-        "query_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _e5(),
+    # k+5 then re-rank on 9dp-rounded scores: WAND accumulates per-doc sums
+    # in a different order than the flat path, so near-ties can flip by one
+    # ulp across engines
+    out = wand_topk(blocks, qidf, n_docs, avgdl, k=TOPK + 5, k1=K1, b=B)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("doc_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _e5(),
+        )
     )
 
 
@@ -269,7 +288,7 @@ ORACLES["bm25_topk"] = f"""{_SQL_BASE},
 {_SQL_BM25_SCORED},
 rk AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM scored)
 SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
        cast(round(score * 100000) AS BIGINT) AS score_5dp
@@ -280,7 +299,7 @@ ORACLES["tfidf_topk"] = f"""{_SQL_BASE},
 {_SQL_TFIDF_SCORED},
 rk AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM tscored)
 SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
        cast(round(score * 100000) AS BIGINT) AS score_5dp
@@ -299,7 +318,7 @@ bscored AS (
 ),
 rk AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM bscored)
 SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
        cast(round(score * 100000) AS BIGINT) AS score_5dp
@@ -324,7 +343,7 @@ lscored AS (
 ),
 rk AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM lscored)
 SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
        cast(round(score * 100000) AS BIGINT) AS score_5dp
@@ -353,7 +372,7 @@ fused AS (
 ),
 rk AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM fused)
 SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
        cast(round(score * 100000) AS BIGINT) AS score_5dp

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Reference parity: exact MD5 dedup (src/ir/index/deduplication.py:65-83,
+content hash src/ir/index/doc_reader.py:71-94) and 64-bit SimHash with
+Hamming ≤ 3 (deduplication.py:85-169; its O(M)-per-doc scan is replaced by
+banded LSH, the approach its own comments point at :243-247).
+
+Scale-first additions (a 100 TB curation pipeline needs these):
+* MinHash + banded LSH over word shingles — built ENTIRELY from JVM
+  expressions: shingle explode → min(xxhash64(seed_i, shingle)) per
+  signature row → band keys → bucket self-join. No Python in the hot path.
+* exact n-gram Jaccard verification via shingle self-join.
+* SimHash fingerprints via an Arrow-batched pandas UDF (token hashing is
+  Python, but one call per batch), candidate pairs via 16-bit bands and
+  ``bit_count(h1 ^ h2)`` (JVM popcount) for the Hamming filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..tokenize import py_tokenize, tokens_col
+
+
+# ----------------------------------------------------------------- exact
+def content_hash_col(text=None):
+    """MD5 content hash (reference doc_reader.py:71-94)."""
+    return F.md5(F.col("text") if text is None else text)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest doc_id per identical content hash."""
+    h = docs.withColumn("content_hash", content_hash_col(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.asc(id_col))
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, dup_count, min_doc_id) for groups with >1 member."""
+    return (
+        docs.withColumn("content_hash", content_hash_col(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(F.col(id_col)).alias("min_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit token-vote SimHash (semantics of deduplication.py:85-169:
+    per-token 64-bit hash, tf-weighted bit votes, sign → bit)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = py_tokenize(t or "")
+        if not toks:
+            out[i] = 0
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        counts: dict[str, int] = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        for tok, tf in counts.items():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += np.where(bits.astype(bool), tf, -tf)
+        fp = np.uint64(0)
+        fp_bits = votes > 0
+        fp = int(np.packbits(fp_bits.astype(np.uint8), bitorder="little").view("<u8")[0])
+        out[i] = np.int64(np.uint64(fp).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 16-bit band buckets (any pair within
+    Hamming ≤ 3 of 64 bits shares ≥1 of 4 bands by pigeonhole), verified
+    with JVM popcount. → (doc_a, doc_b, hamming_dist)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sim")
+    ).persist()
+    mask = (1 << width) - 1
+    banded = h.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("sim", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sim", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming_dist"),
+        )
+        .distinct()
+        .filter(F.col("hamming_dist") <= hamming)
+    )
+    return pairs
+
+
+# ------------------------------------------------------------ minhash LSH
+def shingles_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per doc — pure JVM (transform over a
+    token-array slide)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+    return sh.distinct()
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<long>) — row i = min over shingles of
+    xxhash64(i, shingle); all JVM-side."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash, verified with EXACT shingle
+    Jaccard. → (doc_a, doc_b, jaccard)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingles_df(docs, text_col, id_col, k).persist()
+    sig = minhash_signatures(sh, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_jaccard(cand, sh, threshold)
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via shingle self-join
+    (no LSH — the oracle-checkable baseline; LSH must find a superset)."""
+    sh = shingles_df(docs, text_col, id_col, k).persist()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

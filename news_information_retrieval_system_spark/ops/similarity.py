@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: JVM-side dot products via
+  higher-order ``aggregate``/``zip_with`` (no Python), broadcast query
+  side, window top-k. The correctness baseline.
+* ``lsh_cosine_topk`` — random-hyperplane LSH buckets as the scale path:
+  sign-bit sketches via one Arrow-batched numpy matmul, candidates =
+  bucket collisions across a few probe permutations, exact re-rank of
+  candidates only. Recall < 1 by construction; brute force is the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _norm_col(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the given query vector ids.
+    → (query_id, rank, vec_id, cosine). Excludes self-matches."""
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", _norm_col(F.col("v")))
+    q = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(q), how="cross")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def make_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes) > 0  # (batch, n_planes)
+        keys = np.packbits(signs, axis=1, bitorder="little")
+        out = np.zeros(len(vs), dtype=np.int64)
+        for i in range(keys.shape[1]):
+            out |= keys[:, i].astype(np.int64) << (8 * i)
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the query's hyperplane
+    sign bucket; exact cosine re-rank of candidates only."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    bucket = make_bucket_udf(dim, n_planes, seed)
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", bucket(F.col("v"))).withColumn("norm", _norm_col(F.col("v")))
+    # multi-probe: the query also probes every bucket one sign-flip away
+    # (n_planes + 1 keys) — the standard recall lever without more tables
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(probes).alias("qbucket"),
+        )
+    )
+    cand = (
+        base.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "v", "norm", "qv", "qnorm")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn(
+            "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for corpus curation: language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side Column expressions except the rolling-hash fingerprint (an
+Arrow-batched numpy UDF). Quality-heuristic shape follows the reference's
+text-quality service (src/ir_app/services/text_quality.py) generalized to
+ratio features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..tokenize import tokens_col
+
+EN_STOPWORDS = (
+    "the a an of to and in is are was were for on with as by at from it "
+    "this that be or not"
+).split()
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def lang_id_col(text: Column) -> Column:
+    """n-gram/script heuristic: zh if CJK chars dominate, en if ASCII
+    letters dominate and stopwords appear, else 'unk'."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    ascii_l = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    total = F.greatest(F.length(text), F.lit(1))
+    toks = tokens_col(text)
+    sw_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    return (
+        F.when(cjk / total > 0.2, F.lit("zh"))
+        .when((ascii_l / total > 0.5) & (sw_hits > 0), F.lit("en"))
+        .when(ascii_l / total > 0.5, F.lit("en-ish"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, quality_score) — quality_score in [0,1]."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    sw = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in EN_STOPWORDS]))
+    )
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    # heuristic: long enough, low punctuation noise, word lengths sane,
+    # some-but-not-all stopwords
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+    wordlen_score = F.when((avg_tok >= 2.5) & (avg_tok <= 10.0), 1.0).otherwise(0.5)
+    sw_score = F.when((sw_ratio > 0.05) & (sw_ratio < 0.7), 1.0).otherwise(0.6)
+    quality = (length_score * 0.4 + punct_score * 0.2 + wordlen_score * 0.2 + sw_score * 0.2)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_tok.cast("double").alias("avg_token_len"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        sw_ratio.cast("double").alias("stopword_ratio"),
+        quality.cast("double").alias("quality_score"),
+    )
+
+
+@F.pandas_udf(LongType())
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing-style fingerprint: min of Karp-Rabin rolling hashes over
+    char 8-grams (order-sensitive, robust to small edits elsewhere)."""
+    K = 8
+    BASE = np.uint64(1000003)
+    out = np.empty(len(texts), dtype=np.int64)
+    powK = BASE ** np.uint64(K - 1)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if b.size < K:
+            out[i] = int(b.sum())
+            continue
+        # vectorized rolling hash: h_j = sum b[j+l] * BASE^(K-1-l)
+        h = np.zeros(b.size - K + 1, dtype=np.uint64)
+        for l in range(K):
+            h = h * np.uint64(1) + b[l : b.size - K + 1 + l] * (BASE ** np.uint64(K - 1 - l))
+        out[i] = np.int64(h.min().astype(np.int64))
+    return pd.Series(out)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full per-doc text profile: quality features + lang + fingerprint."""
+    feats = quality_features(docs, text_col, id_col)
+    extra = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id_col(F.col(text_col)).alias("lang_id"),
+        rolling_fingerprint_udf(F.col(text_col)).alias("fingerprint"),
+    )
+    return feats.join(extra, "doc_id")

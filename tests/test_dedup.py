@@ -1,0 +1,89 @@
+import pytest
+from pyspark.sql import functions as F
+
+from news_information_retrieval_system_spark.ops.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64_udf,
+    simhash_candidates,
+    shingles_df,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "spark builds inverted indexes with posting lists"),
+    (4, "completely different content about databases and storage"),
+    (5, "spark builds inverted indexes with posting lists quickly"),  # near dup of 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    df.persist().count()
+    return df
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4, 5]
+    groups = duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["min_doc_id"] == 0
+
+
+def test_simhash_identical_and_near(spark, docs):
+    h = {r["doc_id"]: r["h"] for r in docs.select("doc_id", simhash64_udf("text").alias("h")).collect()}
+    assert h[0] == h[1]  # identical text → identical fingerprint
+    # near-dup differs in few bits
+    ham = bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= 12
+    # unrelated docs differ in many bits
+    ham_far = bin((h[0] ^ h[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > ham
+
+
+def test_simhash_candidates(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_candidates(docs, hamming=12).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (3, 5) in pairs
+    assert (0, 4) not in pairs
+    # hand-check (0,2): 7 trigrams each, 6 shared (only "the lazy dog" vs
+    # "the lazy cat" differs) → 6/8
+    assert pairs[(0, 2)] == pytest.approx(6 / 8)
+
+
+def test_minhash_lsh_superset_check(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.5, num_hashes=16, bands=8).collect()
+    }
+    # high-band LSH at this tiny scale should recover the exact pairs
+    assert exact == lsh
+
+
+def test_shingles(spark, docs):
+    sh = shingles_df(docs.filter("doc_id = 0"), k=3).collect()
+    got = sorted(r["shingle"] for r in sh)
+    assert "the quick brown" in got
+    assert "lazy dog" not in got  # only full 3-grams
+    assert len(got) == 7

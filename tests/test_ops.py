@@ -1,0 +1,126 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from news_information_retrieval_system_spark.eval.metrics import per_query_metrics, run_metrics
+from news_information_retrieval_system_spark.ops.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from news_information_retrieval_system_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+from news_information_retrieval_system_spark.ops.textstats import text_profile
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = cosine_topk(vecs, [0, 1], k=5).collect()
+    rows = [r for r in vecs.collect()]
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in (0, 1):
+        q = emb[qid]
+        sims = []
+        for vid, v in emb.items():
+            if vid == qid:
+                continue
+            sims.append((vid, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))))
+        sims.sort(key=lambda x: (-x[1], x[0]))
+        want = sims[:5]
+        have = sorted(
+            [(r["rank"], r["vec_id"], r["cosine"]) for r in got if r["query_id"] == qid]
+        )
+        assert [v for _, v, _ in have] == [v for v, _ in want]
+        for (_, _, cg), (_, cw) in zip(have, want):
+            assert cg == pytest.approx(cw, rel=1e-9)
+
+
+def test_lsh_finds_planted_neighbors(spark):
+    # plant a near-duplicate (cos ≈ 0.99) for each query vector: LSH must
+    # recover it. (Uniform random vectors are near-orthogonal — recall on
+    # them measures chance, not the operator.)
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").collect()
+    rng = np.random.default_rng(0)
+    rows, qids = [], []
+    for r in base[:100]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        rows.append((int(r["vec_id"]), v.tolist()))
+        if r["vec_id"] < 5:
+            qids.append(int(r["vec_id"]))
+            nb = v + 0.05 * rng.standard_normal(v.size) * np.abs(v).mean()
+            rows.append((10_000 + int(r["vec_id"]), nb.tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = lsh_cosine_topk(vecs, qids, k=3, n_planes=8).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    found = sum(1 for q in qids if top1.get(q) == 10_000 + q)
+    assert found >= 4, top1
+    # exact re-rank correctness: approx cosines must equal brute force
+    exact = cosine_topk(vecs, qids, k=500).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        assert r["cosine"] == pytest.approx(exact_cos[key], rel=1e-9)
+
+
+def test_text_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog in the garden"),
+            (1, "x"),
+            (2, "!!! ??? ;;; :::"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["lang_id"] == "en"
+    assert prof[0]["n_tokens"] == 12
+    assert prof[0]["quality_score"] > prof[1]["quality_score"]
+    assert prof[0]["quality_score"] > prof[2]["quality_score"]
+    assert prof[2]["punct_ratio"] > 0.5
+    # fingerprint deterministic
+    prof2 = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["fingerprint"] == prof2[0]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert r["n_bytes"] > 0
+    # deterministic
+    feats2 = extract_features(synth_media(spark, n=30), fake=True).collect()
+    a = {r["media_id"]: r["features"] for r in feats}
+    b = {r["media_id"]: r["features"] for r in feats2}
+    assert a == b
+    # real decoder not available → must raise, not silently fake
+    with pytest.raises(Exception):
+        extract_features(synth_media(spark, n=4), fake=False).collect()
+    frames = frame_sample(synth_media(spark, n=30), every_ms=10000).collect()
+    assert all(r["frame_ms"] % 10000 == 0 for r in frames)
+
+
+def test_metrics_hand_computed(spark):
+    # query A: ranked [1,2,3,4], rel docs {2,3,9} (9 unretrieved), graded
+    ranked = spark.createDataFrame(
+        [("A", 1, 1), ("A", 2, 2), ("A", 3, 3), ("A", 4, 4)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("A", 2, 2), ("A", 3, 1), ("A", 9, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    m = per_query_metrics(ranked, qrels, k=4).collect()[0]
+    assert m["p_at_k"] == pytest.approx(2 / 4)
+    assert m["r_at_k"] == pytest.approx(2 / 3)
+    # AP = (P@2 + P@3)/3 = (1/2 + 2/3)/3
+    assert m["ap"] == pytest.approx((0.5 + 2 / 3) / 3)
+    assert m["rr"] == pytest.approx(1 / 2)
+    # DCG = (2^2-1)/log2(3) + (2^1-1)/log2(4); IDCG = 3/log2(2)+1/log2(3)+1/log2(4)
+    dcg = 3 / math.log2(3) + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert m["ndcg"] == pytest.approx(dcg / idcg)
+    run = run_metrics(ranked, qrels, k=4).collect()[0]
+    assert run["map"] == pytest.approx(m["ap"])
