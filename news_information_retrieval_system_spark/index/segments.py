@@ -53,22 +53,25 @@ def _encode_partition(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: ONE call per partition (not per group — per-group
     Arrow round-trips were ~500µs each, dominating encode time for small
-    groups). Rows arrive hash-partitioned by (term, block_key) and sorted
-    by (term, block_key, doc_id); the whole partition is varint-encoded in
-    a single vectorized pass, then sliced into per-group blobs by
-    precomputed byte offsets."""
+    groups). Rows arrive hash-partitioned by (tid, tid2, block_key) and
+    sorted by (tid, tid2, block_key, doc_id); ONLY fixed-width ints cross
+    the Arrow boundary (string terms cost ~20s/40M rows in Python object
+    materialization — they're re-attached JVM-side afterwards). The whole
+    partition is varint-encoded in one vectorized pass and sliced into
+    per-group blobs by precomputed byte offsets."""
     pdfs = [p for p in batches if len(p)]
     if not pdfs:
         return
     pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-    term = pdf["term"].to_numpy()
+    tid = pdf["tid"].to_numpy(np.int64)
+    tid2 = pdf["tid2"].to_numpy(np.int64)
     bk = pdf["block_key"].to_numpy(np.int64)
     d = pdf["doc_id"].to_numpy(np.int64)
     tf = pdf["tf"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
     n = len(d)
     new = np.ones(n, dtype=bool)
-    new[1:] = (term[1:] != term[:-1]) | (bk[1:] != bk[:-1])
+    new[1:] = (tid[1:] != tid[:-1]) | (tid2[1:] != tid2[:-1]) | (bk[1:] != bk[:-1])
     starts = np.flatnonzero(new)
     ends = np.append(starts[1:], n)
     sizes = ends - starts
@@ -93,7 +96,8 @@ def _encode_partition(
     bstarts = bends - gbytes
     yield pd.DataFrame(
         {
-            "term": term[starts],
+            "tid": tid[starts],
+            "tid2": tid2[starts],
             "block_key": bk[starts],
             "n": sizes.astype(np.int32),
             "min_doc": d[starts],
@@ -106,6 +110,12 @@ def _encode_partition(
     )
 
 
+_TID_BLOCK_SCHEMA = (
+    "tid long, tid2 long, block_key long, n int, min_doc long, max_doc long, "
+    "max_tf int, min_dl int, nbytes int, data binary"
+)
+
+
 def build_blocked_postings(
     postings: DataFrame,
     span_bits: int = DEFAULT_SPAN_BITS,
@@ -113,22 +123,38 @@ def build_blocked_postings(
 ) -> DataFrame:
     """Flat postings (term, doc_id, tf, dl) → compressed block rows.
 
-    One shuffle: repartition on (term, block_key) — hot terms fan out over
-    doc ranges instead of hitting a single reducer — then a sorted
-    partition-wise vectorized encode. NOTE: doc-range blocking presumes
-    DENSE doc_ids (docids.with_doc_ids method='dense'); sparse hash ids
-    degenerate to one-posting blocks.
+    One shuffle: repartition on (term-id, block_key) — hot terms fan out
+    over doc ranges instead of hitting a single reducer — then a sorted
+    partition-wise vectorized encode. Terms are carried through the Python
+    kernel as a 128-bit hash pair (tid, tid2) = xxhash64(term) ⊕
+    xxhash64(1, term) — collision odds ~2^-128-scale even at billions of
+    terms — and the string is re-attached with a JVM join afterwards.
+    NOTE: doc-range blocking presumes DENSE doc_ids
+    (docids.with_doc_ids method='dense'); sparse hash ids degenerate to
+    one-posting blocks.
     """
-    blocked = postings.withColumn(
-        "block_key", F.shiftright(F.col("doc_id"), span_bits)
+    blocked = postings.select(
+        F.xxhash64("term").alias("tid"),
+        F.xxhash64(F.lit(1), F.col("term")).alias("tid2"),
+        F.shiftright(F.col("doc_id"), span_bits).alias("block_key"),
+        "doc_id", "tf", "dl",
     )
     parts = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
-    return (
-        blocked.repartition(parts, "term", "block_key")
-        .sortWithinPartitions("term", "block_key", "doc_id")
+    enc = (
+        blocked.repartition(parts, "tid", "tid2", "block_key")
+        .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")
         .mapInPandas(
-            lambda it: _encode_partition(it, span_bits), schema=BLOCK_SCHEMA
+            lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
         )
+    )
+    term_map = postings.select(
+        "term",
+        F.xxhash64("term").alias("tid"),
+        F.xxhash64(F.lit(1), F.col("term")).alias("tid2"),
+    ).distinct()
+    return enc.join(term_map, ["tid", "tid2"]).select(
+        "term", "block_key", "n", "min_doc", "max_doc",
+        "max_tf", "min_dl", "nbytes", "data",
     )
 
 

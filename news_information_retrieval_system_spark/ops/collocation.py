@@ -1,0 +1,116 @@
+"""Bigram collocations (PMI / LLR / Dice) and n-gram language models.
+
+Reference: PMI/LLR/χ²/t-score/Dice over bigram counts
+(src/ir/langmodel/collocation.py:137-518); n-gram counts + MLE/add-k
+probability + perplexity (src/ir/langmodel/ngram.py:128-467).
+
+Spark shape: adjacent-token bigrams come from a JVM transform over the
+token array (no positional self-join needed), then it's groupBy counts all
+the way down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+
+
+def bigrams_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair occurrence."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """(w1, w2, n11, pmi, dice, llr) over adjacent bigrams."""
+    bg = bigrams_df(docs, text_col, id_col)
+    n11 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n11"))
+    total = bg.agg(F.count("*").alias("n_bigrams"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    j = (
+        n11.filter(F.col("n11") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(total), how="cross")
+    )
+    p = F.col("n11") / F.col("n_bigrams")
+    p1 = F.col("c1") / F.col("n_bigrams")
+    p2 = F.col("c2") / F.col("n_bigrams")
+    pmi = F.log2(p / (p1 * p2))
+    dice = 2.0 * F.col("n11") / (F.col("c1") + F.col("c2"))
+    # log-likelihood ratio (Dunning): 2 * Σ O ln(O/E) over the 2x2 table
+    n = F.col("n_bigrams").cast("double")
+    o11 = F.col("n11").cast("double")
+    o12 = F.col("c1") - o11
+    o21 = F.col("c2") - o11
+    o22 = n - F.col("c1") - F.col("c2") + o11
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    e11 = F.col("c1") * F.col("c2") / n
+    e12 = F.col("c1") * (n - F.col("c2")) / n
+    e21 = (n - F.col("c1")) * F.col("c2") / n
+    e22 = (n - F.col("c1")) * (n - F.col("c2")) / n
+    llr = 2.0 * (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22))
+    return j.select("w1", "w2", "n11", pmi.alias("pmi"), dice.alias("dice"), llr.alias("llr"))
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(ngram, cnt) over word n-grams."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+            )
+        ).alias("ngram")
+    ).filter(F.size(F.split("ngram", " ")) == n)
+    return grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+
+
+def ngram_lm_logprob(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 2,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Add-k smoothed bigram LM trained on ``docs``, scored on
+    ``eval_docs``: (doc_id, logprob, n_grams, perplexity)."""
+    assert n == 2, "bigram LM only"
+    train_bg = bigrams_df(docs).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    train_u = bigrams_df(docs).groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = docs.select(F.explode(tokens_col("text")).alias("w")).distinct().count()
+    ev = bigrams_df(eval_docs)
+    scored = (
+        ev.join(train_bg, ["w1", "w2"], "left")
+        .join(train_u, "w1", "left")
+        .fillna({"c12": 0, "c1": 0})
+        .withColumn(
+            "logp",
+            F.log((F.col("c12") + add_k) / (F.col("c1") + add_k * vocab)),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("logp").alias("logprob"),
+        F.count("*").alias("n_grams"),
+        F.exp(-F.sum("logp") / F.count("*")).alias("perplexity"),
+    )

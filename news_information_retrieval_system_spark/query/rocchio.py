@@ -1,0 +1,71 @@
+"""Rocchio pseudo-relevance-feedback query expansion.
+
+Reference: α=1.0, β=0.75, γ=0.15, app caps max_terms=8, min_weight=0.01
+(src/ir/ranking/rocchio.py:71-460, src/ir_app/services/index_service.py:390).
+No explicit negative feedback in the PRF path → γ term drops.
+
+Distributed shape: the feedback centroid is an aggregation over the top-k
+docs' TF-IDF vectors — a join + groupBy over postings, never a collect of
+postings. Only the final expanded term list (≤ max_terms rows per query)
+reaches the driver-side query structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.build import FulltextIndex
+from .vsm import build_tfidf_weights
+
+
+def rocchio_expand(
+    index: FulltextIndex,
+    qterms: DataFrame,
+    feedback: DataFrame,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    max_terms: int = 8,
+    min_weight: float = 0.01,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """qterms(query_id, term, qtf), feedback(query_id, doc_id) = top-k docs.
+    → expanded (query_id, term, weight): original query weights (α·idf·qtf)
+    plus β·centroid of feedback doc vectors, capped at max_terms new terms.
+    """
+    if weights is None:
+        weights = build_tfidf_weights(index)
+    if "qtf" not in qterms.columns:
+        qterms = qterms.withColumn("qtf", F.lit(1))
+    fb_sizes = feedback.groupBy("query_id").agg(F.count("*").alias("n_fb"))
+    centroid = (
+        weights.join(F.broadcast(feedback), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("w_norm").alias("sum_w"))
+        .join(F.broadcast(fb_sizes), "query_id")
+        .withColumn("fb_w", F.lit(beta) * F.col("sum_w") / F.col("n_fb"))
+        .select("query_id", "term", "fb_w")
+    )
+    qvec = (
+        index.term_stats.select("term", "idf")
+        .join(F.broadcast(qterms), "term")
+        .withColumn("q_w", F.lit(alpha) * F.col("qtf") * F.col("idf"))
+        .select("query_id", "term", "q_w")
+    )
+    merged = (
+        qvec.join(centroid, ["query_id", "term"], "full")
+        .fillna({"q_w": 0.0, "fb_w": 0.0})
+        .withColumn("weight", F.col("q_w") + F.col("fb_w"))
+        .filter(F.col("weight") >= min_weight)
+    )
+    # original terms always kept; new (expansion) terms capped at max_terms
+    w = Window.partitionBy("query_id").orderBy(F.desc("weight"), F.asc("term"))
+    ranked = merged.withColumn("is_orig", (F.col("q_w") > 0).cast("int")).withColumn(
+        "exp_rank",
+        F.sum(1 - F.col("is_orig")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ranked.filter(
+        (F.col("is_orig") == 1) | (F.col("exp_rank") <= max_terms)
+    ).select("query_id", "term", "weight")

@@ -1,29 +1,34 @@
 """Block-max WAND / document-at-a-time BM25 top-k over compressed blocks.
 
 Reference semantics: WAND with term upper bounds ``UB(t) = score(max_tf,
-min_dl)`` and pivot-based skipping plus a top-k heap threshold θ
+min_dl)`` and a top-k heap threshold θ
 (src/ir/retrieval/query_optimization.py:76-410). Catalyst has no top-k
 early termination (orderBy+limit = TakeOrderedAndProject, full scoring),
-so the skipping lives in a grouped-map kernel; Spark handles the final
-k-way merge.
+so the skipping lives in a grouped kernel; Spark handles the final k-way
+merge.
 
 Physical design (exact, not approximate):
 
 * blocks are doc-range sharded (segments.py), so ALL postings of a doc —
-  for every query term — share one ``block_key``: per-group scores are
-  final scores, per-group top-k is globally mergeable.
-* per (query_id, block_key) group: Σ per-block UBs < θ → skip the group
-  without decoding (the block-max skip). Otherwise decode (vectorized
-  varint), score document-at-a-time via numpy accumulation, emit the
-  group's top-k.
-* θ is seeded exactly: the single highest-UB group per query is scored
-  first; its k-th best score is a valid global lower bound because group
-  scores are final. θ=0 (no pruning) still returns exact results.
-* final ``row_number() ≤ k`` over (score desc, doc_id asc) merges the
-  per-group candidates.
+  for every query term — share one ``block_key``: scores computed within a
+  block group are FINAL scores, and per-group top-k is globally mergeable.
+* queries are AGGREGATED PER TERM before touching the blocks
+  (``term → [(query_id, qtf)]``), so each block row is shuffled and
+  decoded exactly ONCE no matter how many queries share the term — a
+  256-query batch sharing stopword terms costs the same decode work as one
+  query.
+* one shuffle: repartition by ``block_key``; the kernel (one Python call
+  per partition) sorts block groups by Σ upper-bound descending, keeps a
+  running per-query top-k heap, and skips a group for query q when the
+  query's UB sum in that group is below its current θ — adaptive
+  partition-local block-max pruning, exact because per-group scores are
+  final and per-partition top-k ∪ merge is exact for any valid θ.
+* final ``row_number() ≤ k`` over (score desc, doc_id asc) merges.
 """
 
 from __future__ import annotations
+
+import heapq
 
 import numpy as np
 import pandas as pd
@@ -34,64 +39,92 @@ from ..index.codec import decode_block
 from ..index.segments import DEFAULT_SPAN_BITS
 
 
-def _ub_col(k1: float, b: float, avgdl: float):
-    return (
-        F.col("qtf")
-        * F.col("idf")
-        * (F.col("max_tf") * (k1 + 1.0))
-        / (F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl))
-    )
-
-
 def _make_kernel(k: int, k1: float, b: float, avgdl: float, span_bits: int):
-    """Partition-wise DAAT kernel (mapInPandas — one Python call per
-    partition; per-(query, block_key) Arrow round-trips were the
-    bottleneck). Input rows are hash-partitioned and sorted by
-    (query_id, block_key)."""
-
-    def _score_group(g: pd.DataFrame, out: list) -> None:
-        # strict <: a group whose UB ties θ may still hold a doc tying the
-        # k-th score with a smaller doc_id
-        theta = float(g["theta"].iloc[0])
-        if float(g["ub"].sum()) < theta:
-            return
-        qid = g["query_id"].iloc[0]
-        base = int(g["block_key"].iloc[0]) << span_bits
-        all_docs, all_contribs = [], []
-        for row in g.itertuples(index=False):
-            d, tf, dl = decode_block(row.data, row.n, base)
-            tf = tf.astype(np.float64)
-            contrib = (
-                row.qtf
-                * row.idf
-                * (tf * (k1 + 1.0))
-                / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
-            )
-            all_docs.append(d)
-            all_contribs.append(contrib)
-        docs = np.concatenate(all_docs)
-        contribs = np.concatenate(all_contribs)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, contribs)
-        if uniq.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-        else:
-            part = np.arange(uniq.size)
-        out.append(
-            pd.DataFrame({"query_id": qid, "doc_id": uniq[part], "score": scores[part]})
-        )
-
     def kernel(batches):
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        out: list = []
-        for _, g in pdf.groupby(["query_id", "block_key"], sort=False):
-            _score_group(g, out)
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        # group rows by block_key; sort groups by total UB descending so θ
+        # tightens as early as possible
+        order = np.argsort(pdf["block_key"].to_numpy(), kind="mergesort")
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        bk = pdf["block_key"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+        ends = np.append(starts[1:], len(bk))
+        ub_base = pdf["ub_base"].to_numpy(np.float64)
+        group_ub = np.add.reduceat(ub_base, starts)
+        group_order = np.argsort(-group_ub, kind="mergesort")
+
+        heaps: dict = {}  # query_id -> [(score, -doc_id)] min-heap of size ≤ k
+
+        rows_data = pdf["data"].to_numpy(object)
+        rows_n = pdf["n"].to_numpy(np.int64)
+        rows_idf = pdf["idf"].to_numpy(np.float64)
+        rows_queries = pdf["queries"].to_numpy(object)
+
+        for g in group_order:
+            s, e = starts[g], ends[g]
+            base = int(bk[s]) << span_bits
+            # per-query UB in this group (qtf-weighted)
+            q_ub: dict = {}
+            for i in range(s, e):
+                for ql in rows_queries[i]:
+                    qid, qtf = ql["query_id"], ql["qtf"]
+                    q_ub[qid] = q_ub.get(qid, 0.0) + qtf * ub_base[i]
+            live = [
+                qid
+                for qid, ub in q_ub.items()
+                if len(heaps.get(qid, ())) < k or ub >= heaps[qid][0][0]
+            ]
+            if not live:
+                continue
+            live_set = set(live)
+            # decode each block row ONCE
+            decoded = []
+            for i in range(s, e):
+                d, tf, dl = decode_block(rows_data[i], int(rows_n[i]), base)
+                tf = tf.astype(np.float64)
+                contrib = (
+                    rows_idf[i]
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+                )
+                decoded.append((i, d, contrib))
+            # accumulate per live query
+            per_q: dict = {}
+            for i, d, contrib in decoded:
+                for ql in rows_queries[i]:
+                    qid = ql["query_id"]
+                    if qid not in live_set:
+                        continue
+                    per_q.setdefault(qid, ([], []))
+                    per_q[qid][0].append(d)
+                    per_q[qid][1].append(contrib * ql["qtf"])
+            for qid, (ds, cs) in per_q.items():
+                docs = np.concatenate(ds)
+                contribs = np.concatenate(cs)
+                uniq, inv = np.unique(docs, return_inverse=True)
+                scores = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(scores, inv, contribs)
+                h = heaps.setdefault(qid, [])
+                for sc, did in zip(scores, uniq):
+                    item = (float(sc), -int(did))
+                    if len(h) < k:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+        out_q, out_d, out_s = [], [], []
+        for qid, h in heaps.items():
+            for sc, ndid in h:
+                out_q.append(qid)
+                out_d.append(-ndid)
+                out_s.append(sc)
+        if out_q:
+            yield pd.DataFrame(
+                {"query_id": out_q, "doc_id": np.array(out_d, dtype=np.int64),
+                 "score": np.array(out_s, dtype=np.float64)}
+            )
 
     return kernel
 
@@ -105,55 +138,32 @@ def wand_topk(
     k1: float = 1.2,
     b: float = 0.75,
     span_bits: int = DEFAULT_SPAN_BITS,
-    seed_theta: bool = True,
+    seed_theta: bool = True,  # kept for API compat; pruning is adaptive now
 ) -> DataFrame:
     """blocks: segments.BLOCK_SCHEMA table. qterms_with_idf: (query_id,
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
     """
-    qmeta = blocks.join(F.broadcast(qterms_with_idf), "term").withColumn(
-        "ub", _ub_col(k1, b, avgdl)
+    if "qtf" not in qterms_with_idf.columns:
+        qterms_with_idf = qterms_with_idf.withColumn("qtf", F.lit(1))
+    qagg = qterms_with_idf.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "qtf")).alias("queries"),
+        F.first("idf").alias("idf"),
     )
-    kernel_schema = "query_id string, doc_id long, score double"
-    kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+    ub_base = (
+        F.col("idf")
+        * (F.col("max_tf") * (k1 + 1.0))
+        / (F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl))
+    )
+    qmeta = (
+        blocks.join(F.broadcast(qagg), "term")
+        .withColumn("ub_base", ub_base)
+        .select("block_key", "n", "data", "idf", "queries", "ub_base")
+    )
     parts = blocks.sparkSession.sparkContext.defaultParallelism
-
-    def run_kernel(df: DataFrame) -> DataFrame:
-        return (
-            df.repartition(parts, "query_id", "block_key")
-            .sortWithinPartitions("query_id", "block_key")
-            .mapInPandas(kernel, schema=kernel_schema)
-        )
-
-    if seed_theta:
-        ubsum = qmeta.groupBy("query_id", "block_key").agg(
-            F.sum("ub").alias("ub_sum")
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("ub_sum"), F.asc("block_key")
-        )
-        seeds = (
-            ubsum.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "block_key")
-        )
-        seed_scores = run_kernel(
-            qmeta.join(F.broadcast(seeds), ["query_id", "block_key"]).withColumn(
-                "theta", F.lit(0.0)
-            )
-        )
-        wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        thetas = (
-            seed_scores.withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") == k)
-            .select("query_id", F.col("score").alias("theta"))
-        )
-        qmeta = qmeta.join(F.broadcast(thetas), "query_id", "left").fillna(
-            {"theta": 0.0}
-        )
-    else:
-        qmeta = qmeta.withColumn("theta", F.lit(0.0))
-
-    candidates = run_kernel(qmeta)
+    kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+    candidates = qmeta.repartition(parts, "block_key").mapInPandas(
+        kernel, schema="query_id string, doc_id long, score double"
+    )
     wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         candidates.withColumn("rank", F.row_number().over(wk))

@@ -21,7 +21,9 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 4 waves per core: bounds per-task hash-agg memory (GC pressure on
+        # wide shuffles) and gives AQE room to coalesce/split
+        shuffle_partitions = max(cores * 4, 16)
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -31,7 +33,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -41,13 +41,31 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def min_of(runs: list[dict]) -> dict:
+    """Per-phase minimum across repeats — the least-noise estimate on a
+    shared box (GC / page-cache effects only ever ADD time)."""
+    best = dict(runs[0])
+    best["queries"] = {
+        ph: min(r["queries"][ph] for r in runs) for ph in runs[0]["queries"]
+    }
+    return best
+
+
 def main() -> None:
     low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ratio = high / low
-    r_low = run_bench(low, sf_dir)
-    r_high = run_bench(high, sf_dir)
+    r_low = min_of([run_bench(low, sf_dir) for _ in range(repeats)])
+    r_high = min_of([run_bench(high, sf_dir) for _ in range(repeats)])
+    for r in (r_low, r_high):  # recompute throughput from min-phase times
+        q = r["queries"]
+        r["build_turns_per_sec"] = round(
+            r["turns"] / (q["build_flat"] + q["build_blocked"]), 1
+        )
+        r["qps_bm25"] = round(256 / q["bm25_batch"], 2)
+        r["qps_wand"] = round(256 / q["wand_batch"], 2)
 
     def eff(phase: str) -> float:
         return round((r_low["queries"][phase] / r_high["queries"][phase]) / ratio, 3)
