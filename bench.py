@@ -79,12 +79,33 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         return out
 
+    # Untimed warmup at 1/10 scale: JIT/codegen compilation, python-worker
+    # spin-up, and first-touch page faults (pathologically slow on this VM
+    # class — see package __init__) are one-time session costs, not
+    # steady-state throughput. Phases below measure the warm engine.
+    warm_turns = max(10_000, n_turns // 10)
+    warm_path = ensure_corpus(spark, warm_turns)
+    wdocs = spark.read.parquet(warm_path).select("doc_id", "text")
+    widx = build_index(wdocs).materialize()
+    wblk = build_blocked_postings(widx.postings).persist()
+    wblk.count()
+    wq = query_terms_df(spark, bench_queries(32)).persist()
+    bm25_topk(widx, wq, k=10).count()
+    wn, wavg = widx.scalar_stats()
+    wqi = wq.join(widx.term_stats.select("term", "idf"), "term")
+    wand_topk(wblk, wqi, wn, wavg, k=10).count()
+    for df in (wblk, wq):
+        df.unpersist()
+    widx.unpersist()
+
     corpus_path = ensure_corpus(spark, n_turns)
     docs = spark.read.parquet(corpus_path).select("doc_id", "text")
     idx = build_index(docs)
 
     def _build_flat():
-        idx.postings.persist()
+        # full index materialization: postings (the tokenize+shuffle pass)
+        # plus doc/term/corpus stats, all derived from the postings cache
+        idx.materialize()
         return idx.postings.count()
 
     n_postings = timed("build_flat", _build_flat)

@@ -52,6 +52,17 @@ class FulltextIndex:
         self.stats.persist()
         return self
 
+    def materialize(self) -> "FulltextIndex":
+        """Persist + force-build every index table. Postings materialize
+        first (the one tokenize+shuffle pass); the rest fill from its cache.
+        """
+        self.persist()
+        self.postings.count()
+        self.doc_stats.count()
+        self.term_stats.count()
+        self.stats.count()
+        return self
+
     def unpersist(self) -> "FulltextIndex":
         for df in (self.postings, self.term_stats, self.doc_stats, self.stats):
             df.unpersist()
@@ -75,19 +86,35 @@ def build_index(
     id_col: str = "doc_id",
     tokenizer_mode: str = "fast",
 ) -> FulltextIndex:
-    """docs(doc_id, text, ...) → FulltextIndex. Pure transformations."""
+    """docs(doc_id, text, ...) → FulltextIndex. Pure transformations.
+
+    ONE tokenize pass: everything except ``postings`` itself is derived
+    FROM the postings table, so once ``postings`` is persisted no
+    downstream plan (doc_stats, stats, term_stats, every ranker) ever
+    re-tokenizes the corpus. Identities used:
+      * dl rides along through the explode (functionally dependent on
+        doc_id, so groupBy(term, doc_id, dl) is free) — doc_stats is a
+        postings group-by, and the query-time doc_stats join vanishes;
+      * Σ_docs dl = Σ_postings tf, and n_docs = docs.count() (a
+        metadata-only parquet count), so avgdl needs no tokenize either.
+        Token-less docs are counted in n_docs/avgdl but carry no
+        doc_stats row — they can never match a query.
+    """
     toks = tokens_df(docs, text_col, id_col, tokenizer_mode)
-    doc_stats = toks.select("doc_id", F.size("tokens").alias("dl"))
-    stats = doc_stats.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    # dl rides along through the explode: functionally dependent on doc_id,
-    # so groupBy(term, doc_id, dl) costs nothing and kills the stats join.
     postings = (
         toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").cast("int").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
+    )
+    doc_stats = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = (
+        postings.agg(F.sum("tf").alias("_total_tokens"))
+        .join(docs.select(F.col(id_col)).agg(F.count("*").alias("n_docs")), how="cross")
+        .select(
+            "n_docs",
+            (F.col("_total_tokens") / F.col("n_docs")).alias("avgdl"),
+        )
     )
     term_stats = (
         postings.groupBy("term")

@@ -38,8 +38,24 @@ from pyspark.sql import functions as F
 from ..index.codec import decode_block
 from ..index.segments import DEFAULT_SPAN_BITS
 
+_NEG_INF = float("-inf")
 
-def _make_kernel(k: int, k1: float, b: float, avgdl: float, span_bits: int):
+
+def _make_kernel(
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    span_bits: int,
+    theta0: dict | None = None,
+):
+    """theta0: per-query LOWER bound on the global k-th best score (from the
+    seed pass). Any group whose per-query UB sum is below it can be skipped
+    for that query regardless of partition-local heap state — this makes
+    pruning effectiveness independent of partition count (the partition-local
+    heap alone prunes less the more partitions you run, i.e. anti-scaling)."""
+    theta0 = theta0 or {}
+
     def kernel(batches):
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
@@ -72,11 +88,13 @@ def _make_kernel(k: int, k1: float, b: float, avgdl: float, span_bits: int):
                 for ql in rows_queries[i]:
                     qid, qtf = ql["query_id"], ql["qtf"]
                     q_ub[qid] = q_ub.get(qid, 0.0) + qtf * ub_base[i]
-            live = [
-                qid
-                for qid, ub in q_ub.items()
-                if len(heaps.get(qid, ())) < k or ub >= heaps[qid][0][0]
-            ]
+            live = []
+            for qid, ub in q_ub.items():
+                if ub < theta0.get(qid, _NEG_INF):
+                    continue
+                h = heaps.get(qid)
+                if h is None or len(h) < k or ub >= h[0][0]:
+                    live.append(qid)
             if not live:
                 continue
             live_set = set(live)
@@ -138,11 +156,24 @@ def wand_topk(
     k1: float = 1.2,
     b: float = 0.75,
     span_bits: int = DEFAULT_SPAN_BITS,
-    seed_theta: bool = True,  # kept for API compat; pruning is adaptive now
+    seed_theta: bool = True,  # two-phase θ seeding (exact either way)
 ) -> DataFrame:
     """blocks: segments.BLOCK_SCHEMA table. qterms_with_idf: (query_id,
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
+
+    Two-phase plan (seed_theta=True):
+      1. JVM-side per-(query, block_key) UB sums; each query's single
+         best-UB group is scored exactly (tiny kernel job) → θ0(q) = its
+         k-th best score, a LOWER bound on the global k-th best.
+      2. groups where no query's UB reaches its θ0 are dropped JVM-side
+         BEFORE the shuffle (semi-join on live block_keys); the kernel
+         prunes per-query with max(θ0, partition heap θ).
+    Correctness: a group with UB_q < θ0(q) cannot contain a top-k doc for
+    q because ≥k docs scoring ≥ θ0(q) already exist (in q's seed group).
+    Pruning power is thus independent of partition count — the fix for
+    partition-local-θ anti-scaling (more partitions = colder local heaps).
     """
+    spark = blocks.sparkSession
     if "qtf" not in qterms_with_idf.columns:
         qterms_with_idf = qterms_with_idf.withColumn("qtf", F.lit(1))
     qagg = qterms_with_idf.groupBy("term").agg(
@@ -159,9 +190,53 @@ def wand_topk(
         .withColumn("ub_base", ub_base)
         .select("block_key", "n", "data", "idf", "queries", "ub_base")
     )
-    parts = blocks.sparkSession.sparkContext.defaultParallelism
-    kernel = _make_kernel(k, k1, b, avgdl, span_bits)
-    candidates = qmeta.repartition(parts, "block_key").mapInPandas(
+    parts = spark.sparkContext.defaultParallelism
+    theta0: dict[str, float] = {}
+    if seed_theta:
+        qmeta = qmeta.persist()
+        qb = (
+            qmeta.select("block_key", "ub_base", F.explode("queries").alias("q"))
+            .groupBy(F.col("q.query_id").alias("query_id"), F.col("block_key"))
+            .agg(F.sum(F.col("q.qtf") * F.col("ub_base")).alias("ub"))
+        )
+        wseed = Window.partitionBy("query_id").orderBy(
+            F.desc("ub"), F.asc("block_key")
+        )
+        seed_keys = (
+            qb.withColumn("rn", F.row_number().over(wseed))
+            .filter(F.col("rn") == 1)
+            .select("block_key")
+            .distinct()
+        )
+        seed_kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+        seed_cand = (
+            qmeta.join(F.broadcast(seed_keys), "block_key")
+            .repartition(min(parts, 8), "block_key")
+            .mapInPandas(seed_kernel, schema="query_id string, doc_id long, score double")
+        )
+        wk0 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kth = (
+            seed_cand.withColumn("rn", F.row_number().over(wk0))
+            .filter(F.col("rn") == k)
+            .select("query_id", "score")
+            .collect()
+        )
+        theta0 = {r["query_id"]: float(r["score"]) for r in kth}
+        if theta0:
+            th_df = spark.createDataFrame(
+                list(theta0.items()), "query_id string, theta double"
+            )
+            live_keys = (
+                qb.join(F.broadcast(th_df), "query_id", "left")
+                .filter(
+                    F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
+                )
+                .select("block_key")
+                .distinct()
+            )
+            qmeta = qmeta.join(F.broadcast(live_keys), "block_key")
+    kernel = _make_kernel(k, k1, b, avgdl, span_bits, theta0)
+    candidates = qmeta.repartitionByRange(parts, "block_key").mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

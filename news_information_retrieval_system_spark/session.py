@@ -24,16 +24,27 @@ def get_spark(
         # 4 waves per core: bounds per-task hash-agg memory (GC pressure on
         # wide shuffles) and gives AQE room to coalesce/split
         shuffle_partitions = max(cores * 4, 16)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Measured on this VM class (see package __init__): first-touch
+        # page faults are ~30x slower than warm-page writes, so (a) a
+        # MODEST heap that recycles warm pages via GC beats a huge lazy
+        # heap that keeps faulting fresh ones, (b) Xms=Xmx stops G1 from
+        # uncommitting (= re-faulting later), (c) THP cuts fault count
+        # 512x for whatever heap does get touched.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+UseTransparentHugePages",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
