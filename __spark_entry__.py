@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from news_information_retrieval_system_spark import entry_queries as EQ  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_batch3 as EQ3  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_ops as EQO  # noqa: E402
 
 
@@ -31,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.registry(), **EQO.registry()}
+    return {**EQ.registry(), **EQO.registry(), **EQ3.registry()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQO.ORACLES}
+    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES}

@@ -9,7 +9,10 @@ pipeline starts at the table scan, exactly as it would at 100 TB.
 Timed phases at $SPARK_GRAFT_SF_DIR / local[$SPARK_GRAFT_CPUS]:
   build_flat    — parquet scan → tokenize → flat postings + stats
   build_blocked — delta+varint block encoding (mapInPandas vectorized)
-  bm25_batch    — 256-query BM25 batch (broadcast-join plan)
+  bm25_batch    — 256-query BM25 batch (naive declarative plan: two wide
+                  shuffles proportional to the hit count)
+  bm25_docpart  — same batch, doc-partitioned exhaustive kernel (each
+                  posting shipped once, per-partition top-k, tiny merge)
   wand_batch    — same batch through the block-max WAND kernel
   docs_bm25     — driver-contract BM25 batch over documents.parquet
 
@@ -32,6 +35,7 @@ from news_information_retrieval_system_spark.docids import with_doc_ids  # noqa:
 from news_information_retrieval_system_spark.index.build import build_index  # noqa: E402
 from news_information_retrieval_system_spark.index.segments import build_blocked_postings  # noqa: E402
 from news_information_retrieval_system_spark.query.bm25 import bm25_topk, query_terms_df  # noqa: E402
+from news_information_retrieval_system_spark.query.bm25_batch import bm25_topk_docpart  # noqa: E402
 from news_information_retrieval_system_spark.query.wand import wand_topk  # noqa: E402
 from news_information_retrieval_system_spark.session import get_spark  # noqa: E402
 
@@ -55,11 +59,15 @@ def bench_queries(n: int = N_QUERIES) -> dict[str, str]:
 def ensure_corpus(spark, n_turns: int) -> str:
     """Materialize the deterministic corpus once; reuse across runs so both
     parallelism levels in a scaling comparison read identical bytes."""
-    path = f"{CORPUS_CACHE}/turns={n_turns}"
+    path = f"{CORPUS_CACHE}/turns={n_turns}/v2"
     marker = Path(path) / "_SUCCESS"
     if not marker.exists():
         docs = with_doc_ids(synth_transcripts(spark, n_turns, seed=42), "dense")
-        docs.write.mode("overwrite").parquet(path)
+        # many small files: scan tasks stay small at ANY parallelism level,
+        # keeping map-side partial-agg hash tables cache-sized (measured 4x
+        # on the postings build) and the file layout identical across the
+        # scaling comparison's core counts
+        docs.repartition(256).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -87,10 +95,11 @@ def main() -> None:
     warm_path = ensure_corpus(spark, warm_turns)
     wdocs = spark.read.parquet(warm_path).select("doc_id", "text")
     widx = build_index(wdocs).materialize()
-    wblk = build_blocked_postings(widx.postings).persist()
+    wblk = build_blocked_postings(widx.postings, term_dict=widx.term_stats).persist()
     wblk.count()
     wq = query_terms_df(spark, bench_queries(32)).persist()
     bm25_topk(widx, wq, k=10).count()
+    bm25_topk_docpart(widx, wq, k=10).count()
     wn, wavg = widx.scalar_stats()
     wqi = wq.join(widx.term_stats.select("term", "idf"), "term")
     wand_topk(wblk, wqi, wn, wavg, k=10).count()
@@ -112,7 +121,7 @@ def main() -> None:
     n_docs, avgdl = idx.scalar_stats()
 
     def _build_blocked():
-        blk = build_blocked_postings(idx.postings).persist()
+        blk = build_blocked_postings(idx.postings, term_dict=idx.term_stats).persist()
         return blk, blk.count()
 
     blocks, n_blocks = timed("build_blocked", _build_blocked)
@@ -120,6 +129,7 @@ def main() -> None:
     qdf = query_terms_df(spark, bench_queries()).persist()
     qdf.count()
     timed("bm25_batch", lambda: bm25_topk(idx, qdf, k=10).count())
+    timed("bm25_docpart", lambda: bm25_topk_docpart(idx, qdf, k=10).count())
     qidf = qdf.join(idx.term_stats.select("term", "idf"), "term").persist()
     qidf.count()
     timed("wand_batch", lambda: wand_topk(blocks, qidf, n_docs, avgdl, k=10).count())
@@ -142,6 +152,7 @@ def main() -> None:
         "cores": cores,
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "qps_bm25": round(N_QUERIES / times["bm25_batch"], 2),
+        "qps_docpart": round(N_QUERIES / times["bm25_docpart"], 2),
         "qps_wand": round(N_QUERIES / times["wand_batch"], 2),
     }
     spark.stop()

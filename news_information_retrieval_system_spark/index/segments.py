@@ -120,6 +120,7 @@ def build_blocked_postings(
     postings: DataFrame,
     span_bits: int = DEFAULT_SPAN_BITS,
     num_partitions: int | None = None,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Flat postings (term, doc_id, tf, dl) → compressed block rows.
 
@@ -139,7 +140,8 @@ def build_blocked_postings(
         F.shiftright(F.col("doc_id"), span_bits).alias("block_key"),
         "doc_id", "tf", "dl",
     )
-    parts = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
+    spark_ctx = postings.sparkSession.sparkContext
+    parts = num_partitions or max(spark_ctx.defaultParallelism * 4, 16)
     enc = (
         blocked.repartition(parts, "tid", "tid2", "block_key")
         .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")
@@ -147,7 +149,12 @@ def build_blocked_postings(
             lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
         )
     )
-    term_map = postings.select(
+    # term-id → term string map for re-attachment after the int-only kernel.
+    # Pass the (tiny, already-materialized) term dictionary when you have
+    # one — e.g. FulltextIndex.term_stats — otherwise this costs a full
+    # distinct() pass over the postings table.
+    src = term_dict if term_dict is not None else postings
+    term_map = src.select(
         "term",
         F.xxhash64("term").alias("tid"),
         F.xxhash64(F.lit(1), F.col("term")).alias("tid2"),

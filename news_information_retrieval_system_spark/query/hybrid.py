@@ -53,6 +53,29 @@ def hybrid_topk(
     return topk(rrf_fuse([(r1, w_bm25), (r2, w_tfidf)], rrf_k=rrf_k), k=k)
 
 
+def linear_fuse(
+    scorings: Sequence[tuple[DataFrame, float]],
+) -> DataFrame:
+    """Weighted CombSUM with per-query min-max normalization — the
+    reference's generic linear fusion mode (src/ir/ranking/hybrid.py:100-433,
+    'linear' + 'minmax'). Input: [(scores(query_id, doc_id, score), weight)].
+    Docs absent from one ranking contribute 0 from it (CombSUM)."""
+    parts = []
+    for i, (df, w) in enumerate(scorings):
+        wnorm = Window.partitionBy("query_id")
+        norm = (F.col("score") - F.min("score").over(wnorm)) / F.when(
+            F.max("score").over(wnorm) != F.min("score").over(wnorm),
+            F.max("score").over(wnorm) - F.min("score").over(wnorm),
+        ).otherwise(F.lit(1.0))
+        parts.append(
+            df.select("query_id", "doc_id", (F.lit(w) * norm).alias("contrib"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("score"))
+
+
 def ranked(scores: DataFrame) -> DataFrame:
     """Attach deterministic rank (score desc, doc_id asc) without a limit."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -28,6 +28,7 @@ def rocchio_expand(
     max_terms: int = 8,
     min_weight: float = 0.01,
     weights: DataFrame | None = None,
+    rank_dp: int | None = None,
 ) -> DataFrame:
     """qterms(query_id, term, qtf), feedback(query_id, doc_id) = top-k docs.
     → expanded (query_id, term, weight): original query weights (α·idf·qtf)
@@ -52,10 +53,15 @@ def rocchio_expand(
         .withColumn("q_w", F.lit(alpha) * F.col("qtf") * F.col("idf"))
         .select("query_id", "term", "q_w")
     )
+    weight_expr = F.col("q_w") + F.col("fb_w")
+    if rank_dp is not None:
+        # round before filter/rank so an independent re-implementation
+        # (e.g. the SQL oracle) summing in a different order agrees
+        weight_expr = F.round(weight_expr, rank_dp)
     merged = (
         qvec.join(centroid, ["query_id", "term"], "full")
         .fillna({"q_w": 0.0, "fb_w": 0.0})
-        .withColumn("weight", F.col("q_w") + F.col("fb_w"))
+        .withColumn("weight", weight_expr)
         .filter(F.col("weight") >= min_weight)
     )
     # original terms always kept; new (expansion) terms capped at max_terms

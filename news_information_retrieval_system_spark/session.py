@@ -39,6 +39,11 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-Xms{mem} -XX:+UseTransparentHugePages",
         )
+        # Small scan splits bound the size of map-side partial-agg hash
+        # tables (term, doc_id) — measured 4x on the postings build at 2M
+        # turns: giant per-task tables thrash memory, and partial agg only
+        # merges duplicates WITHIN a doc so big tasks buy nothing.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

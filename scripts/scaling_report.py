@@ -65,6 +65,8 @@ def main() -> None:
             r["turns"] / (q["build_flat"] + q["build_blocked"]), 1
         )
         r["qps_bm25"] = round(256 / q["bm25_batch"], 2)
+        if "bm25_docpart" in q:
+            r["qps_docpart"] = round(256 / q["bm25_docpart"], 2)
         r["qps_wand"] = round(256 / q["wand_batch"], 2)
 
     def eff(phase: str) -> float:
@@ -104,7 +106,8 @@ def main() -> None:
         f"| metric | local[{low}] | local[{high}] |",
         "|---|---|---|",
         f"| build turns/sec | {r_low['build_turns_per_sec']} | {r_high['build_turns_per_sec']} |",
-        f"| BM25 queries/sec | {r_low['qps_bm25']} | {r_high['qps_bm25']} |",
+        f"| BM25 queries/sec (naive plan) | {r_low['qps_bm25']} | {r_high['qps_bm25']} |",
+        f"| BM25 queries/sec (doc-partitioned) | {r_low.get('qps_docpart', '-')} | {r_high.get('qps_docpart', '-')} |",
         f"| WAND queries/sec | {r_low['qps_wand']} | {r_high['qps_wand']} |",
         "",
         "Reference single-node baseline (BASELINE.md): 1,103.9 docs/sec lexical",
