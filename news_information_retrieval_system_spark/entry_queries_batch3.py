@@ -264,6 +264,22 @@ def q_rocchio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "term", _e5("weight", "weight_5dp"))
 
 
+COMPOSITE_BOOL = "(fast AND sc*) OR (slow NEAR/3 value) AND NOT source:src18"
+
+
+def q_bool_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 end-to-end: one query string exercising wildcard expansion,
+    positional NEAR, metadata field filter, NOT, parens and precedence
+    (NOT > AND/NEAR > OR) through the full parser+compiler."""
+    from .entry_queries_ops import _positional
+    from .query.boolean import BooleanEngine
+
+    eng = BooleanEngine(_index(spark, sf_dir), positional=_positional(spark, sf_dir))
+    return eng.query(COMPOSITE_BOOL).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 # ------------------------------------------------------- embedding pairs
 def q_embed_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact top-N most-similar pairs (the
@@ -329,6 +345,43 @@ def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ia").cast("long").alias("ia"),
         F.col("ib").cast("long").alias("ib"),
         _e5("cosine", "cosine_5dp"),
+    )
+
+
+def q_eval_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 run-level evaluation (reference metrics.py:949,581): MAP, MRR,
+    mean nDCG, GMAP over the per-query metrics."""
+    from .entry_queries_ops import q_eval_metrics
+
+    m = q_eval_metrics(spark, sf_dir)
+    return m.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("ap_5dp")).cast("long").alias("map_5dp"),
+        F.round(F.avg("rr_5dp")).cast("long").alias("mrr_5dp"),
+        F.round(F.avg("ndcg_5dp")).cast("long").alias("mean_ndcg_5dp"),
+        F.round(F.exp(F.avg(F.log(F.greatest(F.col("ap_5dp").cast("double"), F.lit(1.0))))))
+        .cast("long")
+        .alias("gmap_5dp"),
+    )
+
+
+def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 parity (reference compression.py:642-699): physical size of the
+    delta+varint block index vs the 4-byte-per-int baseline. The oracle
+    recomputes the exact per-value varint byte counts from first
+    principles, so this cross-checks the codec's on-disk size semantics,
+    not just its round-trip."""
+    from .index.segments import build_blocked_postings
+
+    idx = _index(spark, sf_dir)
+    blocks = build_blocked_postings(idx.postings, term_dict=idx.term_stats)
+    return blocks.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.sum("nbytes").cast("long").alias("enc_bytes"),
+        F.round(F.sum("nbytes") / (12.0 * F.sum("n")) * 100000)
+        .cast("long")
+        .alias("ratio_5dp"),
     )
 
 
@@ -606,6 +659,70 @@ SELECT query_id, term,
 FROM rkd WHERE is_orig = 1 OR exp_rank <= {ROCCHIO_MAX}
 """
 
+def _eval_run_oracle() -> str:
+    from .entry_queries_ops import ORACLES as _ORC2
+
+    return f"""
+SELECT cast(count(*) AS BIGINT) AS n_queries,
+       cast(round(avg(ap_5dp)) AS BIGINT) AS map_5dp,
+       cast(round(avg(rr_5dp)) AS BIGINT) AS mrr_5dp,
+       cast(round(avg(ndcg_5dp)) AS BIGINT) AS mean_ndcg_5dp,
+       cast(round(exp(avg(ln(greatest(cast(ap_5dp AS DOUBLE), 1.0))))) AS BIGINT) AS gmap_5dp
+FROM ({_ORC2["eval_metrics"]}) per_query
+"""
+
+
+ORACLES["compression_stats"] = f"""{_SQL_BASE.rstrip().rstrip(",")}
+, tfdl AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)),
+ordd AS (SELECT term, doc_id // 16384 AS bk, doc_id, tf, dl,
+                lag(doc_id) OVER (PARTITION BY term, doc_id // 16384
+                                  ORDER BY doc_id) AS prev
+         FROM tfdl),
+pb AS (SELECT term, bk,
+              CASE WHEN prev IS NULL THEN doc_id - bk * 16384
+                   ELSE doc_id - prev END AS gap,
+              tf, dl
+       FROM ordd),
+vb AS (SELECT term, bk,
+              (CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                    WHEN gap < 2097152 THEN 3 ELSE 4 END) +
+              (CASE WHEN tf < 128 THEN 1 WHEN tf < 16384 THEN 2 ELSE 3 END) +
+              (CASE WHEN dl < 128 THEN 1 WHEN dl < 16384 THEN 2 ELSE 3 END) AS nb
+       FROM pb)
+SELECT cast((SELECT count(*) FROM (SELECT DISTINCT term, bk FROM pb)) AS BIGINT) AS n_blocks,
+       cast(count(*) AS BIGINT) AS n_postings,
+       cast(sum(nb) AS BIGINT) AS enc_bytes,
+       cast(round(sum(nb) / (12.0 * count(*)) * 100000) AS BIGINT) AS ratio_5dp
+FROM vb
+"""
+
+ORACLES["bool_composite"] = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+fast_docs AS (SELECT DISTINCT doc_id FROM t WHERE list_contains(l, 'fast')),
+sc_terms AS (
+  SELECT term FROM (SELECT DISTINCT unnest(l) AS term FROM t)
+  WHERE term LIKE 'sc%' ORDER BY term LIMIT 50
+),
+sc_docs AS (
+  SELECT DISTINCT doc_id FROM t, sc_terms WHERE list_contains(t.l, sc_terms.term)
+),
+near_docs AS (
+  SELECT doc_id FROM t
+  WHERE len(list_filter(range(1, len(l) + 1),
+        i -> l[i] = 'slow' AND
+             len(list_filter(range(greatest(i - 3, 1), least(i + 3, len(l)) + 1),
+                 j -> l[j] = 'value')) > 0)) > 0
+),
+not_src AS (SELECT doc_id FROM documents WHERE source <> 'src18'),
+lhs AS (SELECT doc_id FROM fast_docs INTERSECT SELECT doc_id FROM sc_docs),
+rhs AS (SELECT doc_id FROM near_docs INTERSECT SELECT doc_id FROM not_src)
+SELECT cast(doc_id AS BIGINT) AS doc_id
+FROM (SELECT doc_id FROM lhs UNION SELECT doc_id FROM rhs)
+"""
+
 ORACLES["embed_top_pairs"] = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -619,8 +736,13 @@ FROM rk WHERE rk <= {PAIRS_TOPN}
 """
 
 
+ORACLES["eval_run"] = _eval_run_oracle()
+
+
 def registry() -> dict:
     return {
+        "eval_run": q_eval_run,
+        "compression_stats": q_compression_stats,
         "facet_counts": q_facet_counts,
         "field_bm25_topk": q_field_bm25_topk,
         "date_range_events": q_date_range_events,
@@ -632,6 +754,7 @@ def registry() -> dict:
         "bm25_explain": q_bm25_explain,
         "maxscore_topk": q_maxscore_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
+        "bool_composite": q_bool_composite,
         "rocchio_terms": q_rocchio_terms,
         "embed_top_pairs": q_embed_top_pairs,
         "embed_lsh_pairs": q_embed_lsh_pairs,

@@ -140,8 +140,12 @@ def build_blocked_postings(
         F.shiftright(F.col("doc_id"), span_bits).alias("block_key"),
         "doc_id", "tf", "dl",
     )
-    spark_ctx = postings.sparkSession.sparkContext
-    parts = num_partitions or max(spark_ctx.defaultParallelism * 4, 16)
+    # follow the session's shuffle-partition sizing (data-dependent), not
+    # the core count — this IS a shuffle, and plan shape must not change
+    # between parallelism levels of a scaling comparison
+    parts = num_partitions or int(
+        postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     enc = (
         blocked.repartition(parts, "tid", "tid2", "block_key")
         .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")

@@ -9,18 +9,28 @@ This plan ships each matched posting across the wire ONCE regardless of
 how many queries share the term, and finishes everything else inside one
 partition pass:
 
-    postings ⋈ BROADCAST(per-term query list + idf)   — map-side
+    postings ⋈ BROADCAST(term → small int code)       — map-side
       → repartition(doc_id)                            — THE one shuffle,
                                                          ~df-sized not hit-sized
-      → kernel: expand query lists (numpy), accumulate
-        per (query, doc) — EXACT because all terms of a
-        doc are co-located — per-partition top-k
-      → global top-k merge over ≤ parts × |Q| × k rows
+      → numpy kernel: rows carry only (tcode, doc_id,
+        tf, dl); the (term → [(query, qtf)], idf)
+        table is tiny and travels in the closure.
+        Scores are EXACT per partition because all
+        terms of a doc are co-located; per-partition
+        top-k (ties at the boundary kept).
+      → global top-k merge over a candidate set of
+        ≤ partitions × |Q| × (k + ties) rows
 
-Same results as bm25.bm25_topk (tested); the shape mirrors how the WAND
-kernel consumes doc-range block groups, minus block decode and pruning —
-this is the 'score everything' baseline the north rule's query batches
-fall back to when pruning can't help (e.g. deep-k analytics exports).
+Kernel cost is O(rows) vectorized numpy + an outer loop over the ~|terms
+in batch| × |queries per term| pairs — NO per-row Python (a first version
+expanded per-row query lists in Python and was 5x slower than the naive
+plan; this one is the design the north rule's 'vectorized pandas/Arrow
+UDFs, no per-row Python' demands).
+
+Same results as bm25.bm25_topk (tests/test_bm25_docpart.py); the shape
+mirrors how the WAND kernel consumes doc-range block groups, minus block
+decode and pruning — the 'score everything' baseline for query batches
+where pruning can't help (deep-k analytics exports, score dumps).
 """
 
 from __future__ import annotations
@@ -33,59 +43,76 @@ from pyspark.sql import functions as F
 from ..index.build import FulltextIndex
 
 
-def _make_kernel(k: int, k1: float, b: float, avgdl: float):
+def _make_kernel(
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    idf_by_code: np.ndarray,
+    queries_by_code: list,  # tcode -> (qidx int64[], qtf float64[])
+    query_ids: list,  # qidx -> query_id string
+):
+    n_queries = len(query_ids)
+
     def kernel(batches):
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        tcode = pdf["tcode"].to_numpy(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.float64)
         dl = pdf["dl"].to_numpy(np.float64)
-        idf = pdf["idf"].to_numpy(np.float64)
-        doc = pdf["doc_id"].to_numpy(np.int64)
-        base = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        qlists = pdf["queries"].to_numpy(object)
-        lens = np.fromiter((len(x) for x in qlists), dtype=np.int64, count=len(qlists))
-        row_rep = np.repeat(np.arange(len(qlists)), lens)
-        qids_flat = np.concatenate([[q["query_id"] for q in x] for x in qlists if len(x)]) if lens.sum() else np.array([], dtype=object)
-        qtf_flat = (
-            np.concatenate([[q["qtf"] for q in x] for x in qlists if len(x)]).astype(np.float64)
-            if lens.sum()
-            else np.array([], dtype=np.float64)
+        base = (
+            idf_by_code[tcode]
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
         )
-        if not len(row_rep):
-            return
-        qcodes, quniq = pd.factorize(qids_flat)
-        contrib = base[row_rep] * qtf_flat
-        docs_rep = doc[row_rep]
-        # accumulate per (query, doc): sort-free via unique on composite key
-        key = qcodes.astype(np.int64) << 44 | (docs_rep & ((1 << 44) - 1))
-        uniq, inv = np.unique(key, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, contrib)
-        u_q = (uniq >> 44).astype(np.int64)
-        u_d = (uniq & ((1 << 44) - 1)).astype(np.int64)
+        order = np.argsort(tcode, kind="stable")
+        tc_sorted = tcode[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], tc_sorted[1:] != tc_sorted[:-1]))
+        )
+        ends = np.append(starts[1:], tc_sorted.size)
+        per_q_docs: list[list] = [[] for _ in range(n_queries)]
+        per_q_contribs: list[list] = [[] for _ in range(n_queries)]
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            code = int(tc_sorted[s])
+            qidx_arr, qtf_arr = queries_by_code[code]
+            d_slice = doc[rows]
+            b_slice = base[rows]
+            for qi, qw in zip(qidx_arr, qtf_arr):
+                per_q_docs[qi].append(d_slice)
+                per_q_contribs[qi].append(b_slice if qw == 1.0 else b_slice * qw)
         out_q, out_d, out_s = [], [], []
-        for qi in range(len(quniq)):
-            sel = np.flatnonzero(u_q == qi)
-            if sel.size > k:
-                # keep every row scoring >= the k-th best: score ties at the
-                # boundary must all survive so the global (score desc,
-                # doc_id asc) merge can break them deterministically
-                kth = np.partition(scores[sel], sel.size - k)[sel.size - k]
-                part = sel[scores[sel] >= kth]
+        for qi in range(n_queries):
+            if not per_q_docs[qi]:
+                continue
+            docs_cat = np.concatenate(per_q_docs[qi])
+            con_cat = np.concatenate(per_q_contribs[qi])
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, con_cat)
+            if uniq.size > k:
+                # keep every row scoring >= the k-th best: boundary score
+                # ties must all survive so the global (score desc, doc_id
+                # asc) merge can break them deterministically
+                kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+                sel = np.flatnonzero(scores >= kth)
             else:
-                part = sel
-            out_q.append(np.full(part.size, quniq[qi], dtype=object))
-            out_d.append(u_d[part])
-            out_s.append(scores[part])
-        yield pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "score": np.concatenate(out_s),
-            }
-        )
+                sel = np.arange(uniq.size)
+            out_q.append(np.full(sel.size, query_ids[qi], dtype=object))
+            out_d.append(uniq[sel])
+            out_s.append(scores[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
 
     return kernel
 
@@ -98,27 +125,45 @@ def bm25_topk_docpart(
     b: float = 0.75,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """qterms(query_id, term[, qtf]) → (query_id, rank, doc_id, score).
-
-    NOTE doc_id must fit in 44 bits (dense ids do; 16T docs headroom).
-    """
+    """qterms(query_id, term[, qtf]) → (query_id, rank, doc_id, score)."""
     spark = index.postings.sparkSession
     if "qtf" not in qterms.columns:
         qterms = qterms.withColumn("qtf", F.lit(1))
     n_docs, avgdl = index.scalar_stats()
-    qagg = (
+    qrows = (
         index.term_stats.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(
-            F.collect_list(F.struct("query_id", "qtf")).alias("queries"),
-            F.first("idf").alias("idf"),
+        .select("term", "idf", "query_id", "qtf")
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
         )
+    terms = sorted({r["term"] for r in qrows})
+    code_of = {t: i for i, t in enumerate(terms)}
+    query_ids = sorted({r["query_id"] for r in qrows})
+    qidx_of = {q: i for i, q in enumerate(query_ids)}
+    idf_by_code = np.zeros(len(terms), dtype=np.float64)
+    buckets: list[list] = [[] for _ in terms]
+    for r in qrows:
+        c = code_of[r["term"]]
+        idf_by_code[c] = r["idf"]
+        buckets[c].append((qidx_of[r["query_id"]], float(r["qtf"])))
+    queries_by_code = [
+        (
+            np.array([q for q, _ in bs], dtype=np.int64),
+            np.array([w for _, w in bs], dtype=np.float64),
+        )
+        for bs in buckets
+    ]
+    tdf = spark.createDataFrame(
+        [(t, c) for t, c in code_of.items()], "term string, tcode int"
     )
-    hits = index.postings.join(F.broadcast(qagg), "term").select(
-        "doc_id", "tf", "dl", "idf", "queries"
+    hits = index.postings.join(F.broadcast(tdf), "term").select(
+        "tcode", "doc_id", "tf", "dl"
     )
-    parts = num_partitions or spark.sparkContext.defaultParallelism
-    kernel = _make_kernel(k, k1, b, avgdl)
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kernel = _make_kernel(k, k1, b, avgdl, idf_by_code, queries_by_code, query_ids)
     cand = hits.repartition(parts, "doc_id").mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"
     )

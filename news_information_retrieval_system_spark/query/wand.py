@@ -190,7 +190,7 @@ def wand_topk(
         .withColumn("ub_base", ub_base)
         .select("block_key", "n", "data", "idf", "queries", "ub_base")
     )
-    parts = spark.sparkContext.defaultParallelism
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     theta0: dict[str, float] = {}
     if seed_theta:
         qmeta = qmeta.persist()

