@@ -92,8 +92,8 @@ def _make_kernel(
             docs_cat = np.concatenate(per_q_docs[qi])
             con_cat = np.concatenate(per_q_contribs[qi])
             uniq, inv = np.unique(docs_cat, return_inverse=True)
-            scores = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(scores, inv, con_cat)
+            # bincount-with-weights ≈ 5-10x faster than np.add.at
+            scores = np.bincount(inv, weights=con_cat, minlength=uniq.size)
             if uniq.size > k:
                 # keep every row scoring >= the k-th best: boundary score
                 # ties must all survive so the global (score desc, doc_id

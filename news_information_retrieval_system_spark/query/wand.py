@@ -123,8 +123,8 @@ def _make_kernel(
                 docs = np.concatenate(ds)
                 contribs = np.concatenate(cs)
                 uniq, inv = np.unique(docs, return_inverse=True)
-                scores = np.zeros(uniq.size, dtype=np.float64)
-                np.add.at(scores, inv, contribs)
+                # bincount-with-weights ≈ 5-10x faster than np.add.at
+                scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
                 h = heaps.setdefault(qid, [])
                 for sc, did in zip(scores, uniq):
                     item = (float(sc), -int(did))
@@ -213,15 +213,14 @@ def wand_topk(
             qmeta.join(F.broadcast(seed_keys), "block_key")
             .repartition(min(parts, 8), "block_key")
             .mapInPandas(seed_kernel, schema="query_id string, doc_id long, score double")
-        )
-        wk0 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        kth = (
-            seed_cand.withColumn("rn", F.row_number().over(wk0))
-            .filter(F.col("rn") == k)
-            .select("query_id", "score")
-            .collect()
-        )
-        theta0 = {r["query_id"]: float(r["score"]) for r in kth}
+            .collect()  # ≤ partitions × |Q| × k rows; k-th best computed
+        )  # driver-side — cheaper than another shuffle+window job
+        by_q: dict[str, list[float]] = {}
+        for r in seed_cand:
+            by_q.setdefault(r["query_id"], []).append(float(r["score"]))
+        theta0 = {
+            q: sorted(ss, reverse=True)[k - 1] for q, ss in by_q.items() if len(ss) >= k
+        }
         if theta0:
             th_df = spark.createDataFrame(
                 list(theta0.items()), "query_id string, theta double"

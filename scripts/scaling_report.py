@@ -76,15 +76,19 @@ def main() -> None:
         lows.append(run_bench(low, sf_dir))
         highs.append(run_bench(high, sf_dir))
     r_low, r_high = min_of(lows), min_of(highs)
+    n_queries = int(os.environ.get("SPARK_GRAFT_QUERIES", "256"))
+    n_naive = int(
+        os.environ.get("SPARK_GRAFT_NAIVE_QUERIES", str(min(256, n_queries)))
+    )
     for r in (r_low, r_high):  # recompute throughput from min-phase times
         q = r["queries"]
         r["build_turns_per_sec"] = round(
             r["turns"] / (q["build_flat"] + q["build_blocked"]), 1
         )
-        r["qps_bm25"] = round(256 / q["bm25_batch"], 2)
+        r["qps_bm25"] = round(n_naive / q["bm25_batch"], 2)
         if "bm25_docpart" in q:
-            r["qps_docpart"] = round(256 / q["bm25_docpart"], 2)
-        r["qps_wand"] = round(256 / q["wand_batch"], 2)
+            r["qps_docpart"] = round(n_queries / q["bm25_docpart"], 2)
+        r["qps_wand"] = round(n_queries / q["wand_batch"], 2)
 
     def eff(phase: str) -> float:
         return round((r_low["queries"][phase] / r_high["queries"][phase]) / ratio, 3)
