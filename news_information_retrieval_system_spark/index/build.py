@@ -44,27 +44,39 @@ class FulltextIndex:
     doc_stats: DataFrame  # (doc_id, dl)
     stats: DataFrame  # 1 row: (n_docs, avgdl)
     docs: DataFrame  # source docs incl. doc_id (NOT universe, hydration)
+    term_agg: DataFrame | None = None  # (term, df, _ttf) — shared upstream
+    # of term_stats AND stats so each costs one tiny cached scan, not a
+    # fresh 10^8-row postings pass
 
     def persist(self) -> "FulltextIndex":
         self.postings.persist()
+        if self.term_agg is not None:
+            self.term_agg.persist()
         self.term_stats.persist()
         self.doc_stats.persist()
         self.stats.persist()
         return self
 
     def materialize(self) -> "FulltextIndex":
-        """Persist + force-build every index table. Postings materialize
-        first (the one tokenize+shuffle pass); the rest fill from its cache.
+        """Persist + force-build the hot-path index tables. Postings
+        materialize first (the one tokenize+shuffle pass); term/corpus
+        stats fill from its cache. ``doc_stats`` stays lazy — no ranker
+        joins it (dl is denormalized into postings), so forcing it would
+        add a doc-level groupBy shuffle to every build for nothing.
         """
         self.persist()
         self.postings.count()
-        self.doc_stats.count()
+        if self.term_agg is not None:
+            self.term_agg.count()  # the ONE derived full-postings pass
         self.term_stats.count()
         self.stats.count()
         return self
 
     def unpersist(self) -> "FulltextIndex":
-        for df in (self.postings, self.term_stats, self.doc_stats, self.stats):
+        dfs = [self.postings, self.term_stats, self.doc_stats, self.stats]
+        if self.term_agg is not None:
+            dfs.append(self.term_agg)
+        for df in dfs:
             df.unpersist()
         return self
 
@@ -108,8 +120,11 @@ def build_index(
         .select("term", "doc_id", "tf", "dl")
     )
     doc_stats = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    term_agg = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("_ttf")
+    )
     stats = (
-        postings.agg(F.sum("tf").alias("_total_tokens"))
+        term_agg.agg(F.sum("_ttf").alias("_total_tokens"))
         .join(docs.select(F.col(id_col)).agg(F.count("*").alias("n_docs")), how="cross")
         .select(
             "n_docs",
@@ -117,9 +132,7 @@ def build_index(
         )
     )
     term_stats = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .join(F.broadcast(stats), how="cross")
+        term_agg.join(F.broadcast(stats), how="cross")
         .withColumn(
             "idf",
             F.log(
@@ -130,7 +143,7 @@ def build_index(
         .select("term", "df", "idf")
     )
     src = docs if id_col == "doc_id" else docs.withColumn("doc_id", F.col(id_col))
-    return FulltextIndex(postings, term_stats, doc_stats, stats, src)
+    return FulltextIndex(postings, term_stats, doc_stats, stats, src, term_agg)
 
 
 def build_positional(

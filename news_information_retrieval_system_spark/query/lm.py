@@ -23,7 +23,8 @@ from .bm25 import topk
 def collection_stats(index: FulltextIndex) -> DataFrame:
     """(term, cf, p_c): collection term frequency and unigram probability."""
     cf = index.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
-    total = index.doc_stats.agg(F.sum("dl").alias("total_tokens"))
+    # Σ_docs dl = Σ_postings tf — avoids the doc-level groupBy shuffle
+    total = index.postings.agg(F.sum("tf").alias("total_tokens"))
     return cf.join(F.broadcast(total), how="cross").withColumn(
         "p_c", F.col("cf") / F.col("total_tokens")
     ).select("term", "cf", "p_c")
