@@ -320,8 +320,7 @@ def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.similarity import _dot, _norm_col, make_bucket_udf
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(raw.select("embedding").first()[0])
-    bucket = make_bucket_udf(dim, n_planes=8, seed=42)
+    bucket = make_bucket_udf(n_planes=8, seed=42)
     v = (
         raw.select(
             F.col("vec_id").alias("ia"),
@@ -595,18 +594,18 @@ r2 AS (SELECT query_id, doc_id, round(score, 9) AS score,
                                  ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
        FROM tscored),
 n1 AS (SELECT query_id, doc_id,
-              {W_LIN_BM25} * (score - min(score) OVER (PARTITION BY query_id)) /
-              (CASE WHEN max(score) OVER (PARTITION BY query_id)
-                       = min(score) OVER (PARTITION BY query_id) THEN 1.0
-                    ELSE max(score) OVER (PARTITION BY query_id)
-                       - min(score) OVER (PARTITION BY query_id) END) AS contrib
+              {W_LIN_BM25} * (CASE WHEN max(score) OVER (PARTITION BY query_id)
+                                      = min(score) OVER (PARTITION BY query_id) THEN 1.0
+                                   ELSE (score - min(score) OVER (PARTITION BY query_id))
+                                      / (max(score) OVER (PARTITION BY query_id)
+                                         - min(score) OVER (PARTITION BY query_id)) END) AS contrib
        FROM r1 WHERE rank <= {HYBRID_DEPTH}),
 n2 AS (SELECT query_id, doc_id,
-              {W_LIN_TFIDF} * (score - min(score) OVER (PARTITION BY query_id)) /
-              (CASE WHEN max(score) OVER (PARTITION BY query_id)
-                       = min(score) OVER (PARTITION BY query_id) THEN 1.0
-                    ELSE max(score) OVER (PARTITION BY query_id)
-                       - min(score) OVER (PARTITION BY query_id) END) AS contrib
+              {W_LIN_TFIDF} * (CASE WHEN max(score) OVER (PARTITION BY query_id)
+                                       = min(score) OVER (PARTITION BY query_id) THEN 1.0
+                                    ELSE (score - min(score) OVER (PARTITION BY query_id))
+                                       / (max(score) OVER (PARTITION BY query_id)
+                                          - min(score) OVER (PARTITION BY query_id)) END) AS contrib
        FROM r2 WHERE rank <= {HYBRID_DEPTH}),
 fused AS (
   SELECT query_id, doc_id, round(sum(contrib), 9) AS score

@@ -259,14 +259,28 @@ def build_resumable(
             rec = json.loads(line)
             if rec.get("status") == "ok":
                 done.add(rec["bucket"])
+    # Stage the input ONCE, hive-partitioned by bucket: each bucket job then
+    # scans only its own partition directory (partition pruning) instead of
+    # re-scanning the whole corpus num_buckets times. Idempotent: the staged
+    # copy is reused on restart (it is keyed by the same out_dir).
+    staged = out / "staged_input"
+    if not (staged / "_SUCCESS").exists():
+        (
+            docs.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
+            )
+            .repartition(num_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(str(staged))
+        )
+    spark_ref = docs.sparkSession
     tok = tokenizer(tokenizer_mode)
     for b in range(num_buckets):
         if b in done:
             continue
         t0 = time.time()
-        subset = docs.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)) == b
-        )
+        subset = spark_ref.read.parquet(str(staged)).filter(F.col("bucket") == b)
         toks = subset.select(
             F.col(id_col).alias("doc_id"), tok(text_col).alias("tokens")
         )

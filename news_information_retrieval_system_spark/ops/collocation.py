@@ -38,12 +38,18 @@ def collocations(
     id_col: str = "doc_id",
     min_count: int = 5,
 ) -> DataFrame:
-    """(w1, w2, n11, pmi, dice, llr) over adjacent bigrams."""
+    """(w1, w2, n11, pmi, dice, llr) over adjacent bigrams.
+
+    ONE corpus pass: the marginals c1/c2 and the bigram total are all
+    derived from the (w1, w2) count table — Σ_w2 n11, Σ_w1 n11, Σ n11 —
+    instead of re-tokenizing the corpus once per statistic. The four
+    subtrees share one identical shuffle, which Catalyst's ReuseExchange
+    collapses into a single exchange in the executed plan."""
     bg = bigrams_df(docs, text_col, id_col)
     n11 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n11"))
-    total = bg.agg(F.count("*").alias("n_bigrams"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = n11.agg(F.sum("n11").alias("n_bigrams"))
+    c1 = n11.groupBy("w1").agg(F.sum("n11").alias("c1"))
+    c2 = n11.groupBy("w2").agg(F.sum("n11").alias("c2"))
     j = (
         n11.filter(F.col("n11") >= min_count)
         .join(c1, "w1")
@@ -96,17 +102,24 @@ def ngram_lm_logprob(
     """Add-k smoothed bigram LM trained on ``docs``, scored on
     ``eval_docs``: (doc_id, logprob, n_grams, perplexity)."""
     assert n == 2, "bigram LM only"
+    # one training pass: unigram context counts are Σ_w2 of the bigram
+    # counts (ReuseExchange shares the shuffle); vocab stays a lazy 1-row
+    # frame instead of an eager distinct().count() driver action
     train_bg = bigrams_df(docs).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    train_u = bigrams_df(docs).groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = docs.select(F.explode(tokens_col("text")).alias("w")).distinct().count()
+    train_u = train_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_df = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
     ev = bigrams_df(eval_docs)
     scored = (
         ev.join(train_bg, ["w1", "w2"], "left")
         .join(train_u, "w1", "left")
+        .join(F.broadcast(vocab_df), how="cross")
         .fillna({"c12": 0, "c1": 0})
         .withColumn(
             "logp",
-            F.log((F.col("c12") + add_k) / (F.col("c1") + add_k * vocab)),
+            F.log((F.col("c12") + add_k) / (F.col("c1") + add_k * F.col("vocab"))),
         )
     )
     return scored.groupBy("doc_id").agg(

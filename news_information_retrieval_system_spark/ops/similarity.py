@@ -65,12 +65,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
-def make_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    planes = _hyperplanes(dim, n_planes, seed)
+def make_bucket_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
+    """Hyperplane sign-bucket UDF. ``dim`` may be omitted: the plane matrix
+    is a pure function of (seed, dim), so each executor derives it lazily
+    from the first Arrow batch — no driver-side ``.first()`` action needed
+    to sniff the embedding width."""
+    cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        cache[dim] = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def bucket(vs: pd.Series) -> pd.Series:
         mat = np.stack(vs.to_numpy())  # (batch, dim)
+        d = mat.shape[1]
+        planes = cache.get(d)
+        if planes is None:
+            planes = cache[d] = _hyperplanes(d, n_planes, seed)
         signs = (mat @ planes) > 0  # (batch, n_planes)
         keys = np.packbits(signs, axis=1, bitorder="little")
         out = np.zeros(len(vs), dtype=np.int64)
@@ -93,8 +103,6 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's hyperplane
     sign bucket; exact cosine re-rank of candidates only."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
     bucket = make_bucket_udf(dim, n_planes, seed)
     base = vectors.select(
         F.col(id_col).alias("vec_id"),

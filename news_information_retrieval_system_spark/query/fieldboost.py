@@ -34,10 +34,15 @@ def field_boost_rerank(
     """scored(query_id, doc_id, score) + docs(doc_id, <fields>) +
     qterms(query_id, term) → rescored with the reference's additive field
     boost. Fields present in ``docs`` and in the weight map participate;
-    array columns count term membership, string columns count token hits."""
+    array columns count term membership, string columns count token hits.
+
+    Scale shape: a top-k rerank must only ever touch the candidate docs, so
+    ``docs`` is semi-joined to ``scored``'s doc_ids BEFORE any field is
+    tokenized/exploded — the corpus never flows through the explode."""
     weights = field_weights or DEFAULT_FIELD_WEIGHTS
     dtypes = dict(docs.dtypes)
     q = qterms.select("query_id", "term").distinct()
+    docs = docs.join(scored.select("doc_id").distinct(), "doc_id", "left_semi")
     boosts = None
     for field, wgt in weights.items():
         if field not in dtypes:

@@ -53,23 +53,93 @@ def hybrid_topk(
     return topk(rrf_fuse([(r1, w_bm25), (r2, w_tfidf)], rrf_k=rrf_k), k=k)
 
 
+def _minmax_norm():
+    """Per-query min-max normalized score column; 1.0 when max==min
+    (reference hybrid.py:241-270 'minmax')."""
+    wnorm = Window.partitionBy("query_id")
+    mx, mn = F.max("score").over(wnorm), F.min("score").over(wnorm)
+    return F.when(mx == mn, F.lit(1.0)).otherwise((F.col("score") - mn) / (mx - mn))
+
+
+def _zscore_norm():
+    """Per-query z-score normalized score column; 0.0 when std==0
+    (reference hybrid.py:271-283 'zscore'; population std like np.std)."""
+    wnorm = Window.partitionBy("query_id")
+    mean = F.avg("score").over(wnorm)
+    std = F.stddev_pop("score").over(wnorm)
+    return F.when(std == 0.0, F.lit(0.0)).otherwise((F.col("score") - mean) / std)
+
+
 def linear_fuse(
     scorings: Sequence[tuple[DataFrame, float]],
 ) -> DataFrame:
     """Weighted CombSUM with per-query min-max normalization — the
     reference's generic linear fusion mode (src/ir/ranking/hybrid.py:100-433,
     'linear' + 'minmax'). Input: [(scores(query_id, doc_id, score), weight)].
-    Docs absent from one ranking contribute 0 from it (CombSUM)."""
+    Docs absent from one ranking contribute 0 from it (CombSUM). Degenerate
+    case max==min within a query normalizes to 1.0, matching the
+    reference's ``_normalize_scores`` for an all-identical list
+    (src/ir/ranking/hybrid.py:241-270)."""
     parts = []
     for i, (df, w) in enumerate(scorings):
-        wnorm = Window.partitionBy("query_id")
-        norm = (F.col("score") - F.min("score").over(wnorm)) / F.when(
-            F.max("score").over(wnorm) != F.min("score").over(wnorm),
-            F.max("score").over(wnorm) - F.min("score").over(wnorm),
-        ).otherwise(F.lit(1.0))
         parts.append(
-            df.select("query_id", "doc_id", (F.lit(w) * norm).alias("contrib"))
+            df.select(
+                "query_id", "doc_id", (F.lit(w) * _minmax_norm()).alias("contrib")
+            )
         )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def combmnz_fuse(
+    scorings: Sequence[tuple[DataFrame, float]],
+    normalization: str = "minmax",
+) -> DataFrame:
+    """CombMNZ: (Σ wᵢ·norm(scoreᵢ)) × |{rankers with norm(score) > 0}|
+    (reference src/ir/ranking/hybrid.py:389-433; match = score > 0 after
+    normalization, :412-419). ``normalization``: 'minmax' | 'zscore' |
+    'none'."""
+    if normalization == "minmax":
+        norm = _minmax_norm()
+    elif normalization == "zscore":
+        norm = _zscore_norm()
+    elif normalization == "none":
+        norm = F.col("score")
+    else:
+        raise ValueError(f"unknown normalization: {normalization}")
+    parts = []
+    for df, w in scorings:
+        parts.append(
+            df.select(
+                "query_id",
+                "doc_id",
+                norm.alias("_norm"),
+            ).select(
+                "query_id",
+                "doc_id",
+                (F.lit(w) * F.col("_norm")).alias("contrib"),
+                (F.col("_norm") > 0).cast("int").alias("is_match"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("query_id", "doc_id").agg(
+        (F.sum("contrib") * F.sum("is_match")).alias("score")
+    )
+
+
+def zscore_linear_fuse(
+    scorings: Sequence[tuple[DataFrame, float]],
+) -> DataFrame:
+    """Weighted CombSUM under per-query z-score normalization — the
+    reference's 'linear' + 'zscore' mode (src/ir/ranking/hybrid.py:271-283)."""
+    parts = [
+        df.select("query_id", "doc_id", (F.lit(w) * _zscore_norm()).alias("contrib"))
+        for df, w in scorings
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -21,10 +21,19 @@ from .bm25 import topk
 
 
 def collection_stats(index: FulltextIndex) -> DataFrame:
-    """(term, cf, p_c): collection term frequency and unigram probability."""
-    cf = index.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
-    # Σ_docs dl = Σ_postings tf — avoids the doc-level groupBy shuffle
-    total = index.postings.agg(F.sum("tf").alias("total_tokens"))
+    """(term, cf, p_c): collection term frequency and unigram probability.
+
+    Reads the already-persisted ``term_agg(term, df, _ttf)`` that
+    ``build_index`` derives once — zero postings passes per query batch.
+    Falls back to a postings aggregation only for hand-built indexes that
+    carry no term_agg."""
+    if index.term_agg is not None:
+        cf = index.term_agg.select("term", F.col("_ttf").alias("cf"))
+        total = index.term_agg.agg(F.sum("_ttf").alias("total_tokens"))
+    else:
+        cf = index.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+        # Σ_docs dl = Σ_postings tf — avoids the doc-level groupBy shuffle
+        total = index.postings.agg(F.sum("tf").alias("total_tokens"))
     return cf.join(F.broadcast(total), how="cross").withColumn(
         "p_c", F.col("cf") / F.col("total_tokens")
     ).select("term", "cf", "p_c")

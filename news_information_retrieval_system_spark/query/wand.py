@@ -193,12 +193,16 @@ def wand_topk(
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     theta0: dict[str, float] = {}
     if seed_theta:
-        qmeta = qmeta.persist()
+        # Persist only the small per-(query, block_key) UB aggregate — it is
+        # read by two eager jobs below (seed keys + live keys). qmeta itself
+        # (the blocks × queries join carrying the data blobs) stays lazy:
+        # recomputing its narrow lineage in the final job is cheaper than
+        # leaking a cached copy of the whole block table per call.
         qb = (
             qmeta.select("block_key", "ub_base", F.explode("queries").alias("q"))
             .groupBy(F.col("q.query_id").alias("query_id"), F.col("block_key"))
             .agg(F.sum(F.col("q.qtf") * F.col("ub_base")).alias("ub"))
-        )
+        ).persist()
         wseed = Window.partitionBy("query_id").orderBy(
             F.desc("ub"), F.asc("block_key")
         )
@@ -225,15 +229,23 @@ def wand_topk(
             th_df = spark.createDataFrame(
                 list(theta0.items()), "query_id string, theta double"
             )
-            live_keys = (
+            # materialize the surviving block keys eagerly (≤ one row per
+            # 2^span_bits-doc range) so the final job holds no reference to
+            # the cached qb and it can be unpersisted before returning
+            live_rows = (
                 qb.join(F.broadcast(th_df), "query_id", "left")
                 .filter(
                     F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
                 )
                 .select("block_key")
                 .distinct()
+                .collect()
+            )
+            live_keys = spark.createDataFrame(
+                [(r["block_key"],) for r in live_rows], "block_key long"
             )
             qmeta = qmeta.join(F.broadcast(live_keys), "block_key")
+        qb.unpersist()
     kernel = _make_kernel(k, k1, b, avgdl, span_bits, theta0)
     candidates = qmeta.repartitionByRange(parts, "block_key").mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"

@@ -72,11 +72,15 @@ def write_transcripts(
             else "parquet"
         )
     if fmt == "iceberg":
-        (
-            df.writeTo(path_or_table)
-            .partitionedBy(F.bucket(conv_buckets, F.col("conv_id")))
-            .createOrReplace()
+        writer = df.writeTo(path_or_table).partitionedBy(
+            F.bucket(conv_buckets, F.col("conv_id"))
         )
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            writer.append()
+        else:
+            raise ValueError(f"unsupported mode for Iceberg write: {mode!r}")
         return
     df.repartition(conv_buckets, "conv_id").write.mode(mode).parquet(path_or_table)
 

@@ -35,14 +35,16 @@ def test_linear_fuse_hand_computed(spark):
 
 
 def test_linear_fuse_degenerate_single_score(spark):
-    """max==min within a query → normalizer falls back to 1.0, no NaN/div0."""
+    """max==min within a query → all scores normalize to 1.0, matching the
+    reference _normalize_scores for an all-identical list
+    (src/ir/ranking/hybrid.py:241-270); no NaN/div0."""
     from news_information_retrieval_system_spark.query.hybrid import linear_fuse
 
     r1 = spark.createDataFrame(
         [("q", 1, 3.0)], "query_id string, doc_id long, score double"
     )
     rows = linear_fuse([(r1, 1.0)]).collect()
-    assert len(rows) == 1 and rows[0]["score"] == pytest.approx(0.0)
+    assert len(rows) == 1 and rows[0]["score"] == pytest.approx(1.0)
 
 
 def test_lsh_pairs_find_planted_near_dups(spark):
