@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from news_information_retrieval_system_spark import entry_queries as EQ  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_batch3 as EQ3  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_ops as EQO  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_r2 as EQR2  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.registry(), **EQO.registry(), **EQ3.registry()}
+    return {**EQ.registry(), **EQO.registry(), **EQ3.registry(), **EQR2.registry()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES}
+    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES, **EQR2.ORACLES}

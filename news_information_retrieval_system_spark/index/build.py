@@ -97,6 +97,7 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenizer_mode: str = "fast",
+    stopwords: "tuple[str, ...] | list[str] | None" = None,
 ) -> FulltextIndex:
     """docs(doc_id, text, ...) → FulltextIndex. Pure transformations.
 
@@ -111,8 +112,20 @@ def build_index(
         metadata-only parquet count), so avgdl needs no tokenize either.
         Token-less docs are counted in n_docs/avgdl but carry no
         doc_stats row — they can never match a query.
+
+    ``stopwords``: optional build-time stopword filter (reference builds
+    with filter_stopwords=True, incremental_builder.py:111-128) — tokens
+    are dropped BEFORE dl/tf are counted, so dl = post-filter length,
+    matching the reference's doc_lengths over filtered tokens. The filter
+    is a JVM lambda (order/duplicate-preserving; ``array_except`` would
+    dedupe).
     """
     toks = tokens_df(docs, text_col, id_col, tokenizer_mode)
+    if stopwords:
+        sw = [F.lit(w) for w in stopwords]
+        toks = toks.withColumn(
+            "tokens", F.filter("tokens", lambda x: ~x.isin(*sw))
+        )
     postings = (
         toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")

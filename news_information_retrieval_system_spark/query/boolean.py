@@ -125,6 +125,13 @@ class BooleanParser:
             return Node("phrase", terms=t.strip('"').lower().split())
         if ":" in t and not t.startswith(":"):
             fld, val = t.split(":", 1)
+            if val == "" and (self._peek() or "").startswith('"'):
+                # field:"multi word" — the tokenizer splits at the quote, so
+                # the quoted phrase arrives as the next token. Reference
+                # semantics: AND of the phrase tokens within the field
+                # (src/ir/retrieval/boolean.py:603-628).
+                phrase = self._next().strip('"').lower().split()
+                return Node("fieldphrase", field=fld, terms=phrase)
             if val.startswith("["):
                 # field:[a TO b] — may span tokens if values had spaces; our
                 # grammar requires bracket syntax without internal spaces
@@ -214,6 +221,18 @@ class BooleanEngine:
             if dict(docs.dtypes).get(node.field, "").startswith("array"):
                 return docs.filter(F.array_contains(col, node.value)).select("doc_id")
             return docs.filter(col.cast("string") == node.value).select("doc_id")
+        if k == "fieldphrase":
+            # AND of the phrase tokens within the named field — a tokenized
+            # membership test on the doc column; Catalyst pushes it to the
+            # scan as a plain predicate (no postings needed)
+            from ..tokenize import tokens_col
+
+            docs = self.index.docs
+            toks = tokens_col(F.col(node.field).cast("string"))
+            cond = F.lit(True)
+            for term in node.terms:
+                cond = cond & F.array_contains(toks, term)
+            return docs.filter(cond).select("doc_id")
         if k == "range":
             return self.index.docs.filter(
                 F.col(node.field).cast("string").between(node.lo, node.hi)

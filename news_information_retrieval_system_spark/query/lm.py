@@ -46,17 +46,8 @@ def score_lm(
     lam: float | None = None,
 ) -> DataFrame:
     """Dirichlet by default; pass ``lam`` for Jelinek-Mercer instead."""
-    if "qtf" not in qterms.columns:
-        qterms = qterms.withColumn("qtf", F.lit(1))
-    qcf = collection_stats(index).join(F.broadcast(qterms), "term")  # drops unseen
-    hits = index.postings.join(
-        F.broadcast(qcf.select("query_id", "term").distinct()), "term"
-    )
-    cand = hits.select("query_id", "doc_id", "dl").distinct()
     # every candidate scores EVERY term of ITS query (tf=0 when absent)
-    cross = cand.join(F.broadcast(qcf), "query_id")
-    tf = index.postings.select("term", "doc_id", "tf")
-    scored = cross.join(tf, ["term", "doc_id"], "left").fillna({"tf": 0})
+    scored = _lm_cross(index, qterms)
     if lam is None:
         p = (F.col("tf") + mu * F.col("p_c")) / (F.col("dl") + F.lit(mu))
     else:
@@ -70,3 +61,61 @@ def score_lm(
 
 def lm_topk(index: FulltextIndex, qterms: DataFrame, k: int = 10, mu: float = 2000.0) -> DataFrame:
     return topk(score_lm(index, qterms, mu=mu), k=k)
+
+
+def _lm_cross(index: FulltextIndex, qterms: DataFrame):
+    """Shared candidate × query-term expansion with tf left-joined
+    (tf=0 for absent terms): → frame with qtf, p_c, tf, dl columns."""
+    if "qtf" not in qterms.columns:
+        qterms = qterms.withColumn("qtf", F.lit(1))
+    qcf = collection_stats(index).join(F.broadcast(qterms), "term")
+    hits = index.postings.join(
+        F.broadcast(qcf.select("query_id", "term").distinct()), "term"
+    )
+    cand = hits.select("query_id", "doc_id", "dl").distinct()
+    cross = cand.join(F.broadcast(qcf), "query_id")
+    tf = index.postings.select("term", "doc_id", "tf")
+    return cross.join(tf, ["term", "doc_id"], "left").fillna({"tf": 0})
+
+
+def score_lm_absdisc(
+    index: FulltextIndex, qterms: DataFrame, delta: float = 0.7
+) -> DataFrame:
+    """Absolute discounting (language_model_retrieval.py:270-302):
+    p(t|D) = max(tf-δ,0)/dl + α·p(t|C) with α = δ·|unique terms of D|/dl.
+    The unique-term count is a postings group-by, not a doc-model dict."""
+    uterms = index.postings.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("u")
+    )
+    scored = _lm_cross(index, qterms).join(uterms, "doc_id")
+    p = (
+        F.greatest(F.col("tf") - F.lit(delta), F.lit(0.0)) / F.col("dl")
+        + (F.lit(delta) * F.col("u") / F.col("dl")) * F.col("p_c")
+    )
+    return (
+        scored.withColumn("contrib", F.col("qtf") * F.log(p))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def score_lm_kl(
+    index: FulltextIndex, qterms: DataFrame, mu: float = 2000.0
+) -> DataFrame:
+    """Negative KL divergence -KL(Q||D) with an MLE query model over the
+    Dirichlet-smoothed doc model (language_model_retrieval.py:415-455).
+    Rank-equivalent to query likelihood up to the query-entropy constant;
+    scores differ, which is why it ships as its own scorer."""
+    if "qtf" not in qterms.columns:
+        qterms = qterms.withColumn("qtf", F.lit(1))
+    qlen = qterms.groupBy("query_id").agg(
+        F.sum("qtf").cast("double").alias("qlen")
+    )
+    scored = _lm_cross(index, qterms).join(F.broadcast(qlen), "query_id")
+    p_q = F.col("qtf") / F.col("qlen")
+    p_d = (F.col("tf") + mu * F.col("p_c")) / (F.col("dl") + F.lit(mu))
+    return (
+        scored.withColumn("contrib", -p_q * F.log(p_q / p_d))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )

@@ -29,10 +29,18 @@ def rocchio_expand(
     min_weight: float = 0.01,
     weights: DataFrame | None = None,
     rank_dp: int | None = None,
+    max_drift: float | None = None,
 ) -> DataFrame:
     """qterms(query_id, term, qtf), feedback(query_id, doc_id) = top-k docs.
     → expanded (query_id, term, weight): original query weights (α·idf·qtf)
     plus β·centroid of feedback doc vectors, capped at max_terms new terms.
+
+    ``max_drift``: query-drift guard (reference rocchio.py:103-132,277-307;
+    default 0.7 there). Drift = cosine DISTANCE between the original query
+    vector and the full expanded vector, computed BEFORE term limiting;
+    when drift > max_drift the expansion-term cap shrinks to
+    ``max(1, int(max_terms · max_drift/drift))``. Per-query drift is one
+    tiny aggregation over the merged term frame — no driver-side vectors.
     """
     if weights is None:
         weights = build_tfidf_weights(index)
@@ -58,13 +66,43 @@ def rocchio_expand(
         # round before filter/rank so an independent re-implementation
         # (e.g. the SQL oracle) summing in a different order agrees
         weight_expr = F.round(weight_expr, rank_dp)
-    merged = (
+    full = (
         qvec.join(centroid, ["query_id", "term"], "full")
         .fillna({"q_w": 0.0, "fb_w": 0.0})
         .withColumn("weight", weight_expr)
-        .filter(F.col("weight") >= min_weight)
     )
-    # original terms always kept; new (expansion) terms capped at max_terms
+    if max_drift is not None:
+        # cosine distance between (q_w over orig terms) and (weight over
+        # all terms): the dot product only has support on the orig terms
+        drift = full.groupBy("query_id").agg(
+            F.sum(F.col("q_w") * F.col("weight")).alias("_dot"),
+            F.sqrt(F.sum(F.col("q_w") * F.col("q_w"))).alias("_m1"),
+            F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_m2"),
+        )
+        cos = F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(-1.0), F.col("_dot") / (F.col("_m1") * F.col("_m2"))),
+        )
+        drift = drift.select(
+            "query_id",
+            F.when(F.col("_m1") * F.col("_m2") == 0.0, F.lit(1.0))
+            .otherwise(1.0 - cos)
+            .alias("drift"),
+        )
+        eff_cap = F.when(
+            F.col("drift") > max_drift,
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(max_terms)) * F.lit(max_drift) / F.col("drift")).cast("int"),
+            ),
+        ).otherwise(F.lit(max_terms))
+        full = full.join(F.broadcast(drift), "query_id").withColumn(
+            "_cap", eff_cap
+        )
+    else:
+        full = full.withColumn("_cap", F.lit(max_terms))
+    merged = full.filter(F.col("weight") >= min_weight)
+    # original terms always kept; new (expansion) terms capped per query
     w = Window.partitionBy("query_id").orderBy(F.desc("weight"), F.asc("term"))
     ranked = merged.withColumn("is_orig", (F.col("q_w") > 0).cast("int")).withColumn(
         "exp_rank",
@@ -73,5 +111,5 @@ def rocchio_expand(
         ),
     )
     return ranked.filter(
-        (F.col("is_orig") == 1) | (F.col("exp_rank") <= max_terms)
+        (F.col("is_orig") == 1) | (F.col("exp_rank") <= F.col("_cap"))
     ).select("query_id", "term", "weight")

@@ -1,0 +1,223 @@
+"""Round-2 operator tests: snippet module goldens (Q26), field-boost
+rerank (Q22), BIM relevance feedback (Q17), LM variants (Q16), boolean
+field:"phrase" (Q11), build-time stopword filter (T5), Rocchio drift
+guard (Q24). Hand-computed expectations in the style of the reference's
+unit tests (tests/test_metrics.py golden values)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_information_retrieval_system_spark.index.build import build_index
+
+
+# ------------------------------------------------------------- Q26 snippet
+def test_snippet_best_sentence_and_highlight(spark):
+    """Best sentence = most unique query-term hits, first wins ties;
+    highlight wraps query terms in <mark> (search_service.py:627-703)."""
+    from news_information_retrieval_system_spark.query.snippet import with_snippets
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. the fast scan wins here. fast alone"),
+            (2, "no hits anywhere. still no hits"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("query_text", F.lit("fast scan"))
+    rows = {r["doc_id"]: r["snippet"] for r in with_snippets(df).collect()}
+    assert rows[1] == "the <mark>fast</mark> <mark>scan</mark> wins here"
+    # zero hits everywhere → first sentence, unhighlighted
+    assert rows[2] == "no hits anywhere"
+
+
+def test_snippet_truncates_to_180_chars(spark):
+    from news_information_retrieval_system_spark.query.snippet import with_snippets
+
+    long_sent = "fast " + "word " * 60  # one sentence, > 180 chars
+    df = spark.createDataFrame(
+        [(1, long_sent)], "doc_id long, text string"
+    ).withColumn("query_text", F.lit("fast"))
+    snip = with_snippets(df).collect()[0]["snippet"]
+    # trim happens BEFORE highlighting (reference order), so the <mark>
+    # wrapper may push the final string past 180 raw chars
+    assert len(snip.replace("<mark>", "").replace("</mark>", "")) <= 180
+
+
+def test_kwic_lines_golden(spark):
+    from news_information_retrieval_system_spark.query.snippet import kwic_lines
+
+    df = spark.createDataFrame(
+        [(1, "a b fast c d and scan e")], "doc_id long, text string"
+    ).withColumn("query_text", F.lit("fast scan"))
+    out = kwic_lines(df, window=1).collect()[0]["kwic"]
+    assert out == ["b [fast] c", "and [scan] e"]
+
+
+# ----------------------------------------------------------- Q22 fieldboost
+def test_field_boost_caps_and_candidate_scope(spark):
+    """boost = Σ_field w·min(unique hits, 3), total capped at 1.5
+    (search_service.py:434-481); docs outside the candidate set never
+    contribute rows."""
+    from news_information_retrieval_system_spark.query.fieldboost import (
+        field_boost_rerank,
+    )
+
+    scored = spark.createDataFrame(
+        [("q1", 1, 1.0), ("q1", 2, 0.5)],
+        "query_id string, doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 4 unique title hits (capped at 3), 1 tag hit, 4 content
+            # hits (capped 3) → 0.45*3 + 0.25*1 + 0.06*3 = 1.78 → capped 1.5
+            (1, "t1 t2 t3 t4", ["t1"], "t1 t2 t3 t4 zzz"),
+            # doc 2: one content hit → 0.06
+            (2, "none here", ["x"], "t1 only"),
+            # doc 3 is NOT a candidate; huge hits must not surface
+            (3, "t1 t2 t3 t4", ["t1", "t2"], "t1 t2 t3 t4"),
+        ],
+        "doc_id long, title string, tags array<string>, content string",
+    )
+    q = spark.createDataFrame(
+        [("q1", t) for t in ["t1", "t2", "t3", "t4"]], "query_id string, term string"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in field_boost_rerank(
+            scored, docs, q, {"title": 0.45, "tags": 0.25, "content": 0.06}
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1.0 + 1.5)
+    assert out[2] == pytest.approx(0.5 + 0.06)
+    assert set(out) == {1, 2}
+
+
+# ------------------------------------------------------- Q17 BIM feedback
+def test_bim_feedback_weight_hand_computed(spark):
+    """N=4 docs, term 'x' in docs {0,1}, relevant={0}: pi=1.5/2, qi=1.5/4,
+    w = ln(pi(1-qi)/((1-pi)qi)) = ln(5) (bim.py:244-256)."""
+    from news_information_retrieval_system_spark.query.bim import score_bim_feedback
+
+    docs = spark.createDataFrame(
+        [(0, "x a"), (1, "x b"), (2, "c d"), (3, "e f")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    q = spark.createDataFrame([("q1", "x")], "query_id string, term string")
+    rel = spark.createDataFrame([(0,)], "doc_id long")
+    rows = {r["doc_id"]: r["score"] for r in score_bim_feedback(idx, q, rel).collect()}
+    expect = math.log((0.75 * (1 - 0.375)) / ((1 - 0.75) * 0.375))
+    assert rows[0] == pytest.approx(expect)
+    assert rows[1] == pytest.approx(expect)
+    assert set(rows) == {0, 1}
+
+
+# ------------------------------------------------------------ Q16 variants
+def test_lm_absdisc_hand_computed(spark):
+    """p(t|D) = max(tf-δ,0)/dl + δ·|uniq|/dl · p_c
+    (language_model_retrieval.py:270-302)."""
+    from news_information_retrieval_system_spark.query.lm import score_lm_absdisc
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "y z w")], "doc_id long, text string"
+    )
+    idx = build_index(docs)
+    q = spark.createDataFrame([("q1", "x", 1)], "query_id string, term string, qtf int")
+    rows = {r["doc_id"]: r["score"] for r in score_lm_absdisc(idx, q, delta=0.7).collect()}
+    # doc0: tf=2, dl=3, uniq=2, p_c = cf/total = 2/6
+    expect = math.log((2 - 0.7) / 3 + (0.7 * 2 / 3) * (2 / 6))
+    assert rows[0] == pytest.approx(expect)
+    assert set(rows) == {0}  # only docs matching ≥1 query term are candidates
+
+
+def test_lm_kl_rank_matches_dirichlet(spark, mini_docs=None):
+    """-KL(Q||D) differs from query likelihood only by the query-entropy
+    constant → identical ranking per query (language_model_retrieval.py:415-455)."""
+    from news_information_retrieval_system_spark.query.lm import (
+        score_lm,
+        score_lm_kl,
+    )
+    from news_information_retrieval_system_spark.query.bm25 import topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z x"),
+            (1, "x q r"),
+            (2, "y y x w"),
+            (3, "z z q x y"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    q = spark.createDataFrame(
+        [("q1", "x", 1), ("q1", "y", 2)], "query_id string, term string, qtf int"
+    )
+    r1 = [(r["rank"], r["doc_id"]) for r in topk(score_lm(idx, q), k=4).collect()]
+    r2 = [(r["rank"], r["doc_id"]) for r in topk(score_lm_kl(idx, q), k=4).collect()]
+    assert sorted(r1) == sorted(r2)
+
+
+# -------------------------------------------------------- Q11 field phrase
+def test_field_phrase_parses_and_ands_tokens(spark):
+    """text:"fast scan" = AND of the phrase tokens within the field
+    (reference boolean.py:603-628 — membership, not positional)."""
+    from news_information_retrieval_system_spark.query.boolean import BooleanEngine
+
+    docs = spark.createDataFrame(
+        [
+            (0, "fast and later a scan"),  # both tokens, not adjacent → match
+            (1, "fast only"),
+            (2, "scan only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    eng = BooleanEngine(idx)
+    got = {r["doc_id"] for r in eng.query('text:"fast scan"').collect()}
+    assert got == {0}
+
+
+# ------------------------------------------------------- T5 stopword build
+def test_stopword_build_filters_and_shrinks_dl(spark):
+    from news_information_retrieval_system_spark.index.build import build_index as bi
+
+    docs = spark.createDataFrame(
+        [(0, "the fast scan of the index")], "doc_id long, text string"
+    )
+    idx = bi(docs, stopwords=("the", "of"))
+    terms = {r["term"] for r in idx.postings.collect()}
+    assert terms == {"fast", "scan", "index"}
+    dl = idx.postings.select("dl").first()["dl"]
+    assert dl == 3  # post-filter length, reference doc_lengths semantics
+
+
+# --------------------------------------------------------- Q24 drift guard
+def test_rocchio_drift_guard_shrinks_expansion(spark):
+    """With a tiny max_drift the expansion cap collapses to
+    max(1, int(max_terms·max_drift/drift)) = 1; originals always survive
+    (reference rocchio.py:277-307)."""
+    from news_information_retrieval_system_spark.query.rocchio import rocchio_expand
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee"),
+            (1, "aa bb cc dd ff"),
+            (2, "qq zz"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    q = spark.createDataFrame([("q1", "qq", 1)], "query_id string, term string, qtf int")
+    fb = spark.createDataFrame([("q1", 0), ("q1", 1)], "query_id string, doc_id long")
+    free = rocchio_expand(idx, q, fb, max_terms=8, min_weight=0.0)
+    guarded = rocchio_expand(
+        idx, q, fb, max_terms=8, min_weight=0.0, max_drift=1e-4
+    )
+    n_free = free.filter(F.col("term") != "qq").count()
+    n_guarded = guarded.filter(F.col("term") != "qq").count()
+    assert n_free > 1
+    assert n_guarded == 1
+    assert guarded.filter(F.col("term") == "qq").count() == 1
