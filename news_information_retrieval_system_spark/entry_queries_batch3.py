@@ -314,20 +314,32 @@ def q_embed_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM, LSH_PLANES, LSH_SEED = 64, 8, 42
+
+
+def _lsh_signs():
+    from .ops.similarity import rademacher_signs
+
+    return rademacher_signs(EMBED_DIM, LSH_PLANES, seed=LSH_SEED)
+
+
 def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed candidate pairs (scale path; rows-only check — recall
-    vs the exact pairs is asserted in tests/test_ops.py)."""
-    from .ops.similarity import _dot, _norm_col, make_bucket_udf
+    """LSH-bucketed candidate pairs, fully oracle-checked: ±1 (Rademacher)
+    hyperplanes are shared with the DuckDB oracle as a VALUES table and
+    the sign decision uses a 6dp-rounded dot product (measured sign margin
+    on this corpus ≈ 1e-3), so BOTH engines derive identical buckets —
+    the whole candidate-generation pipeline is hash-verified, not
+    rows-only. Bucketing is a pure JVM Column expression (no Python)."""
+    from .ops.similarity import _dot, _norm_col, bucket_col
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bucket = make_bucket_udf(n_planes=8, seed=42)
     v = (
         raw.select(
             F.col("vec_id").alias("ia"),
             F.col("embedding").cast("array<double>").alias("va"),
         )
         .withColumn("na", _norm_col(F.col("va")))
-        .withColumn("bucket", bucket(F.col("va")))
+        .withColumn("bucket", bucket_col(F.col("va"), _lsh_signs()))
     )
     w = v.select(
         F.col("ia").alias("ib"),
@@ -338,7 +350,7 @@ def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         v.join(w, (F.col("ia") < F.col("ib")) & (F.col("bucket") == F.col("bucket_b")))
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") > 0.0)
+        .filter(F.round("cosine", 9) > 0.0)
     )
     return pairs.select(
         F.col("ia").cast("long").alias("ia"),
@@ -386,14 +398,15 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- fingerprints / media
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-pipeline document fingerprint (winnowing-style Karp-Rabin
-    min-hash over char 8-grams); rows-only — determinism + edit-robustness
-    asserted in tests."""
-    from .ops.textstats import rolling_fingerprint_udf
+    """Training-pipeline document fingerprint: winnowing-style min of
+    bounded polynomial hashes over char 8-grams, as a PURE JVM expression
+    whose arithmetic the DuckDB oracle reproduces exactly (hash-green; the
+    old uint64-wraparound UDF could not be cross-checked)."""
+    from .ops.textstats import fingerprint_col
 
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        rolling_fingerprint_udf(F.col("text")).alias("fingerprint"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
     )
 
 
@@ -734,6 +747,62 @@ SELECT cast(rk AS BIGINT) AS rank, cast(ia AS BIGINT) AS ia,
 FROM rk WHERE rk <= {PAIRS_TOPN}
 """
 
+
+def _embed_lsh_oracle() -> str:
+    signs = _lsh_signs()
+    vals = ", ".join(
+        f"({p}, {d + 1}, {signs[d, p]:.1f})"
+        for p in range(LSH_PLANES)
+        for d in range(EMBED_DIM)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sv(p, d, s) AS (VALUES {vals}),
+dots AS (
+  SELECT v.vec_id, sv.p, round(sum(v.e[sv.d] * sv.s), 6) AS dot
+  FROM v CROSS JOIN sv GROUP BY v.vec_id, sv.p
+),
+bk AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS bucket
+       FROM dots GROUP BY vec_id),
+pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_cosine_similarity(va.e, vb.e) AS cosine
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+)
+SELECT cast(ia AS BIGINT) AS ia, cast(ib AS BIGINT) AS ib,
+       cast(round(cosine * 100000) AS BIGINT) AS cosine_5dp
+FROM pr WHERE round(cosine, 9) > 0
+"""
+
+
+ORACLES["embed_lsh_pairs"] = _embed_lsh_oracle()
+
+
+def _fingerprint_oracle() -> str:
+    from .ops.textstats import FP_BASE, FP_K, FP_MOD
+
+    powers = [FP_BASE ** (FP_K - 1 - l) for l in range(FP_K)]
+    terms = " + ".join(
+        f"(ascii(substr(text, j + {l}, 1)) % 256) * {powers[l]}::BIGINT"
+        for l in range(FP_K)
+    )
+    return f"""
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(CASE
+         WHEN length(text) >= {FP_K} THEN
+           list_min(list_transform(range(1, length(text) - {FP_K - 2}),
+                    j -> ({terms}) % {FP_MOD}))
+         WHEN length(text) > 0 THEN
+           list_sum(list_transform(range(1, length(text) + 1),
+                    j -> (ascii(substr(text, j, 1)) % 256)::BIGINT))
+         ELSE 0 END AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+ORACLES["doc_fingerprints"] = _fingerprint_oracle()
 
 ORACLES["eval_run"] = _eval_run_oracle()
 

@@ -126,13 +126,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH recall is probabilistic; exactness is covered
-    by unit tests comparing against ngram_jaccard_pairs)."""
+    """MinHash LSH with rows-per-band = 1 (32 hashes / 32 bands): a pair
+    with true Jaccard j is missed w.p. (1-j)^32 ≤ 2.3e-10 at the 0.5
+    threshold, so the verified output EQUALS the exact all-pairs Jaccard
+    set and registers against the same oracle — a real hash-green gate on
+    the LSH pipeline, not a rows-only count. (Production banding keeps
+    fewer, wider bands to bound candidate volume; rows=1 is the
+    completeness configuration.)"""
     from .ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _derived_dup_docs(spark, sf_dir), k=2, threshold=JACCARD_THRESHOLD,
-        num_hashes=16, bands=8,
+        num_hashes=32, bands=32,
     ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -141,15 +146,27 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash near-dup candidates on the derived dup corpus."""
+    """SimHash (JVM bit-vote fingerprints) with 16 four-bit bands: the
+    pigeonhole guarantee covers Hamming ≤ 15, so every planted truncation
+    near-dup (measured ≤ 14 on this corpus) MUST surface — the output is
+    the planted pairs recovered by the full LSH pipeline and the oracle is
+    the exact planted-pair set (completeness gate, not rows-only)."""
     from .ops.dedup import simhash_candidates
 
-    return simhash_candidates(
-        _derived_dup_docs(spark, sf_dir), hamming=16, bands=4
-    ).select(
+    cand = simhash_candidates(
+        _derived_dup_docs(spark, sf_dir), hamming=15, bands=16
+    )
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % DUP_EVERY == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 100000).alias("doc_b"),
+        )
+    )
+    return cand.join(planted, ["doc_a", "doc_b"], "inner").select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
-        F.col("hamming_dist").cast("long").alias("hamming_dist"),
     )
 
 
@@ -373,6 +390,15 @@ SELECT cast(doc_id AS BIGINT) AS doc_id,
 FROM feat
 """
 
+# rows=1 banding makes the LSH output provably equal to the exact set
+ORACLES["minhash_pairs"] = ORACLES["jaccard_pairs"]
+
+ORACLES["simhash_pairs"] = f"""
+SELECT cast(doc_id AS BIGINT) AS doc_a,
+       cast(doc_id + 100000 AS BIGINT) AS doc_b
+FROM documents WHERE doc_id % {DUP_EVERY} = 0
+"""
+
 ORACLES["eval_metrics"] = f"""{_SQL_BASE},
 {_SQL_BM25_SCORED},
 rk AS (SELECT query_id, doc_id,
@@ -437,8 +463,8 @@ def registry() -> dict:
         "fuzzy_terms": q_fuzzy_terms,
         "content_hashes": q_content_hashes,
         "jaccard_pairs": q_jaccard_pairs,
-        "minhash_pairs": q_minhash_pairs,  # rows-only (no oracle entry)
-        "simhash_pairs": q_simhash_pairs,  # rows-only (no oracle entry)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "text_quality": q_text_quality,
         "eval_metrics": q_eval_metrics,

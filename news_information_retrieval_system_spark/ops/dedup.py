@@ -86,21 +86,67 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash64_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sim): 64-bit SimHash computed ENTIRELY JVM-side — the
+    scale-path replacement for the per-row-Python ``simhash64_udf``.
+
+    Plan: explode tokens → (doc_id, term, tf) counts → ``xxhash64(term)``
+    → the 64 bit-votes become 64 conditional sums in ONE
+    ``groupBy(doc_id)`` aggregation; the sign bits then assemble into the
+    fingerprint with a bitwise-OR chain. Same vote semantics as the
+    reference (deduplication.py:85-169: tf-weighted ±votes per bit, sign →
+    bit); hash fn is xxhash64 instead of md5, so fingerprints differ from
+    the UDF numerically but identically in structure. Token-less docs get
+    no row (they cannot near-dup anything)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tf.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = fp.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select("doc_id", fp.alias("sim"))
+
+
 def simhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     hamming: int = 3,
     bands: int = 4,
+    jvm: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 16-bit band buckets (any pair within
     Hamming ≤ 3 of 64 bits shares ≥1 of 4 bands by pigeonhole), verified
-    with JVM popcount. → (doc_a, doc_b, hamming_dist)."""
+    with JVM popcount. → (doc_a, doc_b, hamming_dist). ``jvm=False`` keeps
+    the pandas-UDF fingerprint as the reference-parity fallback."""
     assert 64 % bands == 0
     width = 64 // bands
-    h = docs.select(
-        F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sim")
-    ).persist()
+    if jvm:
+        h = simhash64_df(docs, text_col, id_col).persist()
+    else:
+        h = docs.select(
+            F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sim")
+        ).persist()
     mask = (1 << width) - 1
     banded = h.select(
         "doc_id",

@@ -65,6 +65,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
+def rademacher_signs(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplane matrix (dim × n_planes). Sign projections lose nothing
+    for LSH bucketing, and the integer entries make the bucket function
+    exactly reproducible by any engine fed the same matrix (the DuckDB
+    oracle embeds it as a VALUES table)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((dim, n_planes)) < 0.5, -1.0, 1.0)
+
+
+def bucket_col(vec_col, signs: np.ndarray, round_dp: int = 6):
+    """Pure-JVM bucket id: bit p = sign of ⟨v, signs[:,p]⟩. The dot is
+    rounded before the sign test so engines that sum in different orders
+    agree (sign margins must exceed 10^-round_dp; assert on your data).
+    No Python worker, no shuffle — a row-local Column expression."""
+    dim, n_planes = signs.shape
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        row = F.array(*[F.lit(float(s)) for s in signs[:, p]])
+        dot = F.aggregate(
+            F.zip_with(v, row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(F.round(dot, round_dp) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
 def make_bucket_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     """Hyperplane sign-bucket UDF. ``dim`` may be omitted: the plane matrix
     is a pure function of (seed, dim), so each executor derives it lazily

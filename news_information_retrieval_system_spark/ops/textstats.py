@@ -80,6 +80,49 @@ def quality_features(
     )
 
 
+FP_K = 8  # char n-gram width
+FP_BASE = 131
+FP_MOD = 2147483647  # 2^31 - 1: keeps every partial sum inside int64
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Winnowing-style document fingerprint as a PURE JVM expression:
+    min over char 8-gram positions j of
+    ``(Σ_{l<8} (codepoint(text[j+l]) % 256) · FP_BASE^(7-l)) % FP_MOD``.
+    Bounded arithmetic (255·131^7·8 < 2^63), so ANY engine computes it
+    identically — this is what makes a DuckDB oracle possible, unlike the
+    uint64-wraparound Karp-Rabin UDF it replaces. Texts shorter than 8
+    chars fall back to the codepoint sum; empty/null → 0."""
+    t = F.col(text) if isinstance(text, str) else text
+    powers = [FP_BASE ** (FP_K - 1 - l) for l in range(FP_K)]
+
+    def ngram_hash(j):  # j: 1-based position Column
+        s = F.lit(0).cast("long")
+        for l, p in enumerate(powers):
+            code = F.pmod(F.ascii(F.substring(t, j + F.lit(l), F.lit(1))), F.lit(256))
+            s = s + code.cast("long") * F.lit(p)
+        return F.pmod(s, F.lit(FP_MOD))
+
+    char_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda j: F.pmod(F.ascii(F.substring(t, j, F.lit(1))), F.lit(256)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.when(
+            F.length(t) >= FP_K,
+            F.array_min(
+                F.transform(F.sequence(F.lit(1), F.length(t) - (FP_K - 1)), ngram_hash)
+            ),
+        )
+        .when(F.length(t) > 0, char_sum)
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
 @F.pandas_udf(LongType())
 def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
     """Winnowing-style fingerprint: min of Karp-Rabin rolling hashes over
@@ -107,6 +150,6 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     extra = docs.select(
         F.col(id_col).alias("doc_id"),
         lang_id_col(F.col(text_col)).alias("lang_id"),
-        rolling_fingerprint_udf(F.col(text_col)).alias("fingerprint"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
     )
     return feats.join(extra, "doc_id")

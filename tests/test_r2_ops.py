@@ -221,3 +221,92 @@ def test_rocchio_drift_guard_shrinks_expansion(spark):
     assert n_free > 1
     assert n_guarded == 1
     assert guarded.filter(F.col("term") == "qq").count() == 1
+
+
+# ------------------------------------------------- JVM dedup/fingerprints
+def test_simhash_jvm_matches_vote_semantics(spark):
+    """JVM simhash: identical text → identical fingerprint; permuted text
+    (same bag of words) → identical; disjoint text → different."""
+    from news_information_retrieval_system_spark.ops.dedup import simhash64_df
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha"),
+            (1, "alpha beta gamma alpha"),
+            (2, "gamma alpha alpha beta"),  # same multiset, order ignored
+            (3, "zz qq ww ee rr tt"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["sim"] for r in simhash64_df(docs).collect()}
+    assert h[0] == h[1] == h[2]
+    assert h[0] != h[3]
+
+
+def test_simhash_jvm_candidates_find_near_dup(spark):
+    from news_information_retrieval_system_spark.ops.dedup import simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " extra"), (2, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(docs, hamming=15, bands=16).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_fingerprint_col_matches_python_reference(spark):
+    from news_information_retrieval_system_spark.ops.textstats import (
+        FP_BASE,
+        FP_K,
+        FP_MOD,
+        fingerprint_col,
+    )
+
+    texts = ["hello world fingerprints", "tiny", "", "exactly8"]
+
+    def py_fp(t):
+        if not t:
+            return 0
+        if len(t) < FP_K:
+            return sum(ord(c) % 256 for c in t)
+        return min(
+            sum((ord(t[j + l]) % 256) * FP_BASE ** (FP_K - 1 - l) for l in range(FP_K))
+            % FP_MOD
+            for j in range(len(t) - FP_K + 1)
+        )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_fp(t), (t, got[i], py_fp(t))
+
+
+def test_rademacher_bucket_col_matches_numpy(spark):
+    import numpy as np
+
+    from news_information_retrieval_system_spark.ops.similarity import (
+        bucket_col,
+        rademacher_signs,
+    )
+
+    signs = rademacher_signs(8, 5, seed=7)
+    vecs = [[float(i + j) - 3.5 for j in range(8)] for i in range(4)]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", bucket_col("embedding", signs).alias("b")).collect()
+    }
+    for i, v in enumerate(vecs):
+        dots = np.array(v) @ signs
+        expect = int(sum(1 << p for p in range(5) if round(dots[p], 6) > 0))
+        assert got[i] == expect
