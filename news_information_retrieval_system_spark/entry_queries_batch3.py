@@ -370,6 +370,8 @@ def q_eval_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ap_5dp")).cast("long").alias("map_5dp"),
         F.round(F.avg("rr_5dp")).cast("long").alias("mrr_5dp"),
         F.round(F.avg("ndcg_5dp")).cast("long").alias("mean_ndcg_5dp"),
+        F.round(F.avg("err_5dp")).cast("long").alias("mean_err_5dp"),
+        F.round(F.avg("bpref_5dp")).cast("long").alias("mean_bpref_5dp"),
         F.round(F.exp(F.avg(F.log(F.greatest(F.col("ap_5dp").cast("double"), F.lit(1.0))))))
         .cast("long")
         .alias("gmap_5dp"),
@@ -679,6 +681,8 @@ SELECT cast(count(*) AS BIGINT) AS n_queries,
        cast(round(avg(ap_5dp)) AS BIGINT) AS map_5dp,
        cast(round(avg(rr_5dp)) AS BIGINT) AS mrr_5dp,
        cast(round(avg(ndcg_5dp)) AS BIGINT) AS mean_ndcg_5dp,
+       cast(round(avg(err_5dp)) AS BIGINT) AS mean_err_5dp,
+       cast(round(avg(bpref_5dp)) AS BIGINT) AS mean_bpref_5dp,
        cast(round(exp(avg(ln(greatest(cast(ap_5dp AS DOUBLE), 1.0))))) AS BIGINT) AS gmap_5dp
 FROM ({_ORC2["eval_metrics"]}) per_query
 """

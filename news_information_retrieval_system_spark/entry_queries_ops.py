@@ -245,9 +245,15 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         _e5("p_at_k", "p_at_k_5dp"),
         _e5("r_at_k", "r_at_k_5dp"),
+        _e5("f1", "f1_5dp"),
         _e5("ap", "ap_5dp"),
         _e5("rr", "rr_5dp"),
         _e5("ndcg", "ndcg_5dp"),
+        _e5("err", "err_5dp"),
+        _e5("rbp", "rbp_5dp"),
+        _e5("bpref", "bpref_5dp"),
+        _e5("r_prec", "r_prec_5dp"),
+        _e5("success", "success_5dp"),
     )
 
 
@@ -421,19 +427,31 @@ j AS (
   WHERE r.rank <= {TOPK}
 ),
 j2 AS (
-  SELECT query_id, rank, rel,
+  SELECT j.query_id, rank, rel, t.n_rel,
          CASE WHEN rel > 0 THEN 1 ELSE 0 END AS is_hit,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY query_id ORDER BY rank) AS cum_hits,
-         (pow(2.0, rel) - 1.0) / log2(rank + 1.0) AS dcg_term
-  FROM j
+           OVER (PARTITION BY j.query_id ORDER BY rank) AS cum_hits,
+         (pow(2.0, rel) - 1.0) / log2(rank + 1.0) AS dcg_term,
+         (pow(2.0, rel) - 1.0) / pow(2.0, 3.0) AS err_r,
+         coalesce(sum(ln(1.0 - (pow(2.0, rel) - 1.0) / pow(2.0, 3.0)))
+           OVER (PARTITION BY j.query_id ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS err_logcont,
+         0.2 * pow(0.8, rank - 1) * (CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rbp_term,
+         coalesce(sum(CASE WHEN rel > 0 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY j.query_id ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nonrel_before
+  FROM j JOIN totals t USING (query_id)
 ),
 agg AS (
   SELECT query_id,
          sum(is_hit) AS hits,
          sum(cum_hits * 1.0 / rank * is_hit) AS sum_prec_hits,
          min(CASE WHEN is_hit = 1 THEN rank END) AS first_hit,
-         sum(dcg_term) AS dcg
+         sum(dcg_term) AS dcg,
+         sum(err_r * exp(err_logcont) / rank) AS err,
+         sum(rbp_term) AS rbp,
+         sum(is_hit * (1.0 - least(nonrel_before, n_rel) * 1.0 / n_rel)) AS sum_bpref,
+         sum(is_hit * (CASE WHEN rank <= n_rel THEN 1 ELSE 0 END)) AS rprec_hits
   FROM j2 GROUP BY query_id
 ),
 ideal AS (
@@ -446,9 +464,18 @@ ideal AS (
 SELECT a.query_id,
        cast(round(a.hits * 1.0 / {TOPK} * 100000) AS BIGINT) AS p_at_k_5dp,
        cast(round(a.hits * 1.0 / t.n_rel * 100000) AS BIGINT) AS r_at_k_5dp,
+       cast(round(CASE WHEN a.hits > 0 THEN
+              2.0 * (a.hits * 1.0 / {TOPK}) * (a.hits * 1.0 / t.n_rel)
+              / (a.hits * 1.0 / {TOPK} + a.hits * 1.0 / t.n_rel)
+            ELSE 0.0 END * 100000) AS BIGINT) AS f1_5dp,
        cast(round(a.sum_prec_hits / t.n_rel * 100000) AS BIGINT) AS ap_5dp,
        cast(round(coalesce(1.0 / a.first_hit, 0.0) * 100000) AS BIGINT) AS rr_5dp,
-       cast(round(coalesce(a.dcg / i.idcg, 0.0) * 100000) AS BIGINT) AS ndcg_5dp
+       cast(round(coalesce(a.dcg / i.idcg, 0.0) * 100000) AS BIGINT) AS ndcg_5dp,
+       cast(round(a.err * 100000) AS BIGINT) AS err_5dp,
+       cast(round(a.rbp * 100000) AS BIGINT) AS rbp_5dp,
+       cast(round(a.sum_bpref / t.n_rel * 100000) AS BIGINT) AS bpref_5dp,
+       cast(round(a.rprec_hits * 1.0 / t.n_rel * 100000) AS BIGINT) AS r_prec_5dp,
+       cast(round(CASE WHEN a.hits > 0 THEN 1.0 ELSE 0.0 END * 100000) AS BIGINT) AS success_5dp
 FROM agg a JOIN totals t USING (query_id) LEFT JOIN ideal i USING (query_id)
 """
 

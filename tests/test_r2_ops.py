@@ -310,3 +310,33 @@ def test_rademacher_bucket_col_matches_numpy(spark):
         dots = np.array(v) @ signs
         expect = int(sum(1 << p for p in range(5) if round(dots[p], 6) > 0))
         assert got[i] == expect
+
+
+# -------------------------------------------------------- A3 metric tail
+def test_extended_eval_metrics_hand_computed(spark):
+    """ERR/RBP/bpref/R-prec/success/F1 against a hand-worked example
+    (formulas of reference metrics.py:146,521,635,718,780,810)."""
+    from news_information_retrieval_system_spark.eval.metrics import (
+        per_query_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate([1, 2, 3, 4, 5], start=1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3), ("q1", 2, 1), ("q1", 4, 2)],
+        "query_id string, doc_id long, rel int",
+    )
+    m = per_query_metrics(ranked, qrels, k=5).collect()[0]
+    # ERR cascade (max_grade=3): R = [.875, .125, 0, .375, 0]
+    err = 0.875 + (1 - 0.875) * 0.125 / 2 + (1 - 0.875) * (1 - 0.125) * 0.375 / 4
+    rbp = 0.2 * (1.0 + 0.8 + 0.8 ** 3)
+    bpref = (1.0 + 1.0 + (1 - 1 / 3)) / 3
+    assert m["err"] == pytest.approx(err)
+    assert m["rbp"] == pytest.approx(rbp)
+    assert m["bpref"] == pytest.approx(bpref)
+    assert m["r_prec"] == pytest.approx(2 / 3)  # hits within rank ≤ R=3
+    assert m["success"] == 1.0
+    p, r = 3 / 5, 3 / 3
+    assert m["f1"] == pytest.approx(2 * p * r / (p + r))
