@@ -64,15 +64,27 @@ def bench_queries(n: int = N_QUERIES) -> dict[str, str]:
 def ensure_corpus(spark, n_turns: int) -> str:
     """Materialize the deterministic corpus once; reuse across runs so both
     parallelism levels in a scaling comparison read identical bytes."""
-    path = f"{CORPUS_CACHE}/turns={n_turns}/v2"
+    path = f"{CORPUS_CACHE}/turns={n_turns}/v3"
     marker = Path(path) / "_SUCCESS"
     if not marker.exists():
         docs = with_doc_ids(synth_transcripts(spark, n_turns, seed=42), "dense")
-        # many small files: scan tasks stay small at ANY parallelism level,
-        # keeping map-side partial-agg hash tables cache-sized (measured 4x
-        # on the postings build) and the file layout identical across the
-        # scaling comparison's core counts
-        docs.repartition(256).write.mode("overwrite").parquet(path)
+        # doc-range clustered layout — the engine's ingest contract (stable
+        # (conv_id, turn_idx) ordering ⇒ dense doc-id ranges per file).
+        # Every scan split of a range-sorted parquet file is itself a
+        # contiguous doc range, so the flat build stays a narrow pipeline
+        # AND the blocked build can encode per-partition segments without
+        # shuffling raw postings (only encoded blocks shuffle to merge
+        # boundary straddlers). File count scales with the corpus
+        # (~one 2^14-doc block span per file, floor 64 for parallelism);
+        # identical layout at every parallelism level of a scaling
+        # comparison.
+        n_files = max(64, n_turns // 16384)
+        (
+            docs.repartitionByRange(n_files, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path
 
 

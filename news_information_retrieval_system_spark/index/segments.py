@@ -116,23 +116,87 @@ _TID_BLOCK_SCHEMA = (
 )
 
 
+def _merge_tid_partition(
+    batches: Iterator[pd.DataFrame], span_bits: int
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel merging duplicate (tid, tid2, block_key) block
+    fragments within a partition. Rows arrive hash-partitioned by the key
+    triple and sorted by (tid, tid2, block_key, min_doc). Singleton groups
+    (the overwhelming majority when the input was doc-range clustered)
+    pass through WITHOUT decoding — pure memcpy; only straddler groups
+    decode → concat (already doc-sorted across fragments) → re-encode,
+    which reproduces the exact bytes a one-shot group encode would emit."""
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    tid = pdf["tid"].to_numpy(np.int64)
+    tid2 = pdf["tid2"].to_numpy(np.int64)
+    bk = pdf["block_key"].to_numpy(np.int64)
+    n = len(tid)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (tid[1:] != tid[:-1]) | (tid2[1:] != tid2[:-1]) | (bk[1:] != bk[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    singleton = (ends - starts) == 1
+    out = [pdf.iloc[starts[singleton]]]
+    dup_groups = np.flatnonzero(~singleton)
+    if dup_groups.size:
+        data = pdf["data"].to_numpy(object)
+        nrow = pdf["n"].to_numpy(np.int64)
+        rows = []
+        for g in dup_groups:
+            s, e = starts[g], ends[g]
+            base = int(bk[s]) << span_bits
+            ds, tfs, dls = [], [], []
+            for i in range(s, e):
+                d, tf, dl = decode_block(data[i], int(nrow[i]), base)
+                ds.append(d)
+                tfs.append(tf)
+                dls.append(dl)
+            d = np.concatenate(ds)
+            order = np.argsort(d, kind="mergesort")
+            d = d[order]
+            tf = np.concatenate(tfs)[order]
+            dl = np.concatenate(dls)[order]
+            blob = encode_block(d, tf, dl, base)
+            rows.append(
+                (int(tid[s]), int(tid2[s]), int(bk[s]), len(d), int(d[0]),
+                 int(d[-1]), int(tf.max()), int(dl.min()), len(blob), blob)
+            )
+        out.append(pd.DataFrame(rows, columns=pdf.columns))
+    yield pd.concat(out, ignore_index=True)
+
+
 def build_blocked_postings(
     postings: DataFrame,
     span_bits: int = DEFAULT_SPAN_BITS,
     num_partitions: int | None = None,
     term_dict: DataFrame | None = None,
+    raw_shuffle: bool = False,
 ) -> DataFrame:
     """Flat postings (term, doc_id, tf, dl) → compressed block rows.
 
-    One shuffle: repartition on (term-id, block_key) — hot terms fan out
-    over doc ranges instead of hitting a single reducer — then a sorted
-    partition-wise vectorized encode. Terms are carried through the Python
-    kernel as a 128-bit hash pair (tid, tid2) = xxhash64(term) ⊕
-    xxhash64(1, term) — collision odds ~2^-128-scale even at billions of
-    terms — and the string is re-attached with a JVM join afterwards.
-    NOTE: doc-range blocking presumes DENSE doc_ids
-    (docids.with_doc_ids method='dense'); sparse hash ids degenerate to
-    one-posting blocks.
+    Default plan (segment-then-merge, the Lucene-style shape): each input
+    partition sorts locally and encodes its own blocks (NO raw-row
+    shuffle), producing per-partition SEGMENTS; only the ~10-50× smaller
+    encoded block rows are then term-hash shuffled, and fragments of a
+    (term, block_key) group that straddled partitions merge in a
+    vectorized kernel (singletons pass through as memcpy). Output is
+    byte-identical to a one-shot global group encode. When the input is
+    doc-range clustered (dense doc_ids written in order — the engine's
+    ingest layout), almost every group is a singleton and the shuffled
+    volume is just the compressed index. Scattered input stays CORRECT
+    but fragments heavily; pass ``raw_shuffle=True`` there to shuffle the
+    raw rows once up front instead (the v1 plan).
+
+    Either way, hot terms fan out over doc ranges instead of hitting a
+    single reducer. Terms traverse the Python kernels as a 128-bit hash
+    pair (tid, tid2) = xxhash64(term) ⊕ xxhash64(1, term) — collision odds
+    ~2^-128-scale even at billions of terms — and the string is
+    re-attached with a JVM join afterwards. NOTE: doc-range blocking
+    presumes DENSE doc_ids (docids.with_doc_ids method='dense'); sparse
+    hash ids degenerate to one-posting blocks.
     """
     blocked = postings.select(
         F.xxhash64("term").alias("tid"),
@@ -141,18 +205,33 @@ def build_blocked_postings(
         "doc_id", "tf", "dl",
     )
     # follow the session's shuffle-partition sizing (data-dependent), not
-    # the core count — this IS a shuffle, and plan shape must not change
-    # between parallelism levels of a scaling comparison
+    # the core count — shuffles' plan shape must not change between
+    # parallelism levels of a scaling comparison
     parts = num_partitions or int(
         postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    enc = (
-        blocked.repartition(parts, "tid", "tid2", "block_key")
-        .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")
-        .mapInPandas(
+    if raw_shuffle:
+        enc = (
+            blocked.repartition(parts, "tid", "tid2", "block_key")
+            .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")
+            .mapInPandas(
+                lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
+            )
+        )
+    else:
+        seg = blocked.sortWithinPartitions(
+            "tid", "tid2", "block_key", "doc_id"
+        ).mapInPandas(
             lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
         )
-    )
+        enc = (
+            seg.repartition(parts, "tid", "tid2", "block_key")
+            .sortWithinPartitions("tid", "tid2", "block_key", "min_doc")
+            .mapInPandas(
+                lambda it: _merge_tid_partition(it, span_bits),
+                schema=_TID_BLOCK_SCHEMA,
+            )
+        )
     # term-id → term string map for re-attachment after the int-only kernel.
     # Pass the (tiny, already-materialized) term dictionary when you have
     # one — e.g. FulltextIndex.term_stats — otherwise this costs a full
@@ -284,14 +363,9 @@ def build_resumable(
         toks = subset.select(
             F.col(id_col).alias("doc_id"), tok(text_col).alias("tokens")
         )
-        flat = (
-            toks.select(
-                "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
-            )
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .select("term", "doc_id", "tf", "dl")
-        )
+        from .build import flat_postings
+
+        flat = flat_postings(toks)
         blocks = build_blocked_postings(flat, span_bits)
         seg_path = str(out / "segments" / f"bucket={b}")
         blocks.write.mode("overwrite").parquet(seg_path)

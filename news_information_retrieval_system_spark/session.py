@@ -51,6 +51,11 @@ def get_spark(
         # turns: giant per-task tables thrash memory, and partial agg only
         # merges duplicates WITHIN a doc so big tasks buy nothing.
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # one FILE = one scan split: the ingest layout writes doc-range
+        # clustered files sized ~one posting-block span, and split packing
+        # would otherwise glue many small files into a handful of splits,
+        # collapsing scan/cache parallelism on small corpora
+        .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -124,3 +124,44 @@ def test_resumable_skips_completed_buckets(spark, corpus, tmp_path, monkeypatch)
     assert [r["bucket"] for r in lines] == [0, 1, 2, 3]
     segs = list((out / "segments").glob("bucket=*"))
     assert [p.name for p in segs] == ["bucket=3"]
+
+
+def test_narrow_blocked_build_equals_raw_shuffle_under_fragmentation(spark):
+    """Segment-then-merge (default) must emit byte-identical blocks to the
+    raw-shuffle plan even when the input is adversarially scattered so
+    every (term, block_key) group fragments across many partitions."""
+    from news_information_retrieval_system_spark.index.build import build_index
+    from news_information_retrieval_system_spark.index.segments import (
+        build_blocked_postings,
+    )
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")),
+            F.concat(F.lit("u"), (F.col("id") % 13).cast("string")),
+        ).alias("text"),
+    )
+    idx = build_index(docs)
+    scattered = idx.postings.repartition(16)  # round-robin: max fragmentation
+    a = (
+        build_blocked_postings(scattered, span_bits=6, term_dict=idx.term_stats,
+                               raw_shuffle=True)
+        .orderBy("term", "block_key")
+        .collect()
+    )
+    b = (
+        build_blocked_postings(scattered, span_bits=6, term_dict=idx.term_stats,
+                               raw_shuffle=False)
+        .orderBy("term", "block_key")
+        .collect()
+    )
+    assert len(a) == len(b) and len(a) > 20
+    for ra, rb in zip(a, b):
+        assert (ra["term"], ra["block_key"]) == (rb["term"], rb["block_key"])
+        assert bytes(ra["data"]) == bytes(rb["data"])
+        assert (ra["n"], ra["min_doc"], ra["max_doc"], ra["max_tf"], ra["min_dl"]) == (
+            rb["n"], rb["min_doc"], rb["max_doc"], rb["max_tf"], rb["min_dl"]
+        )
