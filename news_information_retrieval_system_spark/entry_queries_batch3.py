@@ -414,11 +414,15 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → per-item feature vector via
-    mapInPandas (decode stubbed deterministically; real decoder drops into
-    ops/multimodal._decode_one). Rows-only."""
+    mapInPandas. The DECODE is stubbed (real decoder drops into
+    ops/multimodal._decode_one), but the payload follows an arithmetic
+    byte pattern and the stub's stripe-mean features quantize through
+    float32 at one well-defined point, so the DuckDB oracle recomputes the
+    whole pipeline output from first principles — the plumbing is
+    hash-verified even though the decode is fake."""
     from .ops.multimodal import extract_features, synth_media
 
-    media = synth_media(spark, n=128, seed=42)
+    media = synth_media(spark, n=N_MEDIA, seed=MEDIA_SEED)
     feats = extract_features(media, fake=True)
     return feats.select(
         F.col("media_id").cast("long").alias("media_id"),
@@ -807,6 +811,42 @@ FROM documents
 
 
 ORACLES["doc_fingerprints"] = _fingerprint_oracle()
+
+N_MEDIA, MEDIA_SEED, MEDIA_DIM = 128, 42, 16
+
+
+def _media_oracle() -> str:
+    # payload byte i = (mid·131 + i·7919 + seed) % 256; numpy array_split
+    # stripe s covers [s·base + min(s, rem), +base + (s<rem)); stripe means
+    # quantize through FLOAT exactly like the stub's float32 cast
+    return f"""
+WITH m AS (SELECT unnest(range(0, {N_MEDIA})) AS mid),
+base AS (
+  SELECT mid,
+         CASE mid % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (mid * 2654435761 + {MEDIA_SEED}) % 4096 + 64 AS n
+  FROM m
+),
+feat AS (
+  SELECT mid, kind, n,
+         list_sum(list_transform(range(0, {MEDIA_DIM}), s ->
+           CAST(CAST(
+             list_sum(list_transform(
+               range(s * (n // {MEDIA_DIM}) + least(s, n % {MEDIA_DIM}),
+                     s * (n // {MEDIA_DIM}) + least(s, n % {MEDIA_DIM})
+                       + (n // {MEDIA_DIM}) + CASE WHEN s < n % {MEDIA_DIM} THEN 1 ELSE 0 END),
+               i -> (mid * 131 + i * 7919 + {MEDIA_SEED}) % 256)) * 1.0
+             / ((n // {MEDIA_DIM}) + CASE WHEN s < n % {MEDIA_DIM} THEN 1 ELSE 0 END)
+           AS FLOAT) AS DOUBLE))) AS fsum
+  FROM base
+)
+SELECT cast(mid AS BIGINT) AS media_id, kind, cast(n AS BIGINT) AS n_bytes,
+       cast(round(fsum * 100000) AS BIGINT) AS feat_sum_5dp
+FROM feat
+"""
+
+
+ORACLES["media_features"] = _media_oracle()
 
 ORACLES["eval_run"] = _eval_run_oracle()
 

@@ -65,9 +65,14 @@ class FulltextIndex:
         add a doc-level groupBy shuffle to every build for nothing.
         """
         self.persist()
-        self.postings.count()
         if self.term_agg is not None:
-            self.term_agg.count()  # the ONE derived full-postings pass
+            # ONE pass: executing term_agg computes the postings subtree,
+            # which populates the postings cache en route AND feeds the
+            # aggregation in the same job — no separate count pass over
+            # the freshly written cache
+            self.term_agg.count()
+        else:
+            self.postings.count()
         self.term_stats.count()
         self.stats.count()
         return self

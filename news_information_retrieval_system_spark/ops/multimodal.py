@@ -29,7 +29,10 @@ FEATURE_DIM = 16
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table. Payload bytes follow the arithmetic
+    pattern ``(media_id·131 + i·7919 + seed) mod 256`` — any engine can
+    reproduce them (the driver oracle recomputes the feature sums in pure
+    SQL), unlike an RNG stream."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = np.array(["image", "audio", "video"])
@@ -40,8 +43,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             rows = []
             for mid, size in zip(ids, rng_sizes):
                 kind = kinds[mid % 3]
-                rng = np.random.default_rng(seed + int(mid))
-                payload = rng.integers(0, 256, int(size), dtype=np.uint8).tobytes()
+                payload = (
+                    (int(mid) * 131 + np.arange(int(size), dtype=np.int64) * 7919 + seed) % 256
+                ).astype(np.uint8).tobytes()
                 rows.append(
                     (
                         int(mid),
@@ -68,8 +72,10 @@ def _decode_one(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             "real media decoding requires PIL/librosa/ffmpeg — not available "
             "in this environment; pass fake=True for the deterministic stub"
         )
-    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    # deterministic stand-in features: byte histogram moments per stripe
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    # deterministic stand-in features: per-stripe byte means, computed in
+    # float64 and quantized to float32 only at the end — the single,
+    # well-defined rounding point any re-implementation can reproduce
     stripes = np.array_split(b, FEATURE_DIM)
     return np.array([s.mean() if s.size else 0.0 for s in stripes], dtype=np.float32)
 

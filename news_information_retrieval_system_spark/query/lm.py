@@ -44,10 +44,13 @@ def score_lm(
     qterms: DataFrame,
     mu: float = 2000.0,
     lam: float | None = None,
+    df_ceiling: float | None = None,
 ) -> DataFrame:
-    """Dirichlet by default; pass ``lam`` for Jelinek-Mercer instead."""
+    """Dirichlet by default; pass ``lam`` for Jelinek-Mercer instead.
+    ``df_ceiling`` bounds candidate generation for stopword-grade terms
+    (see ``_lm_cross``)."""
     # every candidate scores EVERY term of ITS query (tf=0 when absent)
-    scored = _lm_cross(index, qterms)
+    scored = _lm_cross(index, qterms, df_ceiling)
     if lam is None:
         p = (F.col("tf") + mu * F.col("p_c")) / (F.col("dl") + F.lit(mu))
     else:
@@ -63,15 +66,32 @@ def lm_topk(index: FulltextIndex, qterms: DataFrame, k: int = 10, mu: float = 20
     return topk(score_lm(index, qterms, mu=mu), k=k)
 
 
-def _lm_cross(index: FulltextIndex, qterms: DataFrame):
+def _lm_cross(
+    index: FulltextIndex, qterms: DataFrame, df_ceiling: float | None = None
+):
     """Shared candidate × query-term expansion with tf left-joined
-    (tf=0 for absent terms): → frame with qtf, p_c, tf, dl columns."""
+    (tf=0 for absent terms): → frame with qtf, p_c, tf, dl columns.
+
+    ``df_ceiling`` (fraction of n_docs, e.g. 0.5): stopword-grade query
+    terms above the ceiling still SCORE on every candidate, but stop
+    GENERATING candidates — without this the |cand|·|Q| expansion is
+    Θ(N·|Q|) whenever one query term matches half the corpus. Results
+    change only for docs whose sole match is a dropped hot term — docs
+    the reference's own candidate pruning would rank at the tail. Default
+    None preserves exact reference semantics."""
     if "qtf" not in qterms.columns:
         qterms = qterms.withColumn("qtf", F.lit(1))
     qcf = collection_stats(index).join(F.broadcast(qterms), "term")
-    hits = index.postings.join(
-        F.broadcast(qcf.select("query_id", "term").distinct()), "term"
-    )
+    gen = qcf.select("query_id", "term").distinct()
+    if df_ceiling is not None:
+        dfs = index.term_stats.select("term", "df").join(
+            F.broadcast(index.stats), how="cross"
+        )
+        keep = dfs.filter(
+            F.col("df") <= F.lit(df_ceiling) * F.col("n_docs")
+        ).select("term")
+        gen = gen.join(F.broadcast(keep), "term", "left_semi")
+    hits = index.postings.join(F.broadcast(gen), "term")
     cand = hits.select("query_id", "doc_id", "dl").distinct()
     cross = cand.join(F.broadcast(qcf), "query_id")
     tf = index.postings.select("term", "doc_id", "tf")
