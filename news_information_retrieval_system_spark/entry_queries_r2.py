@@ -150,8 +150,12 @@ def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers against the bm25_topk oracle (append ≡ rebuild).
     Reference semantics: add_documents_batch + finalize
     (src/ir/index/incremental_builder.py:180-315,456-470)."""
-    from .index.build import FulltextIndex, build_index
-    from .index.segments import build_blocked_postings, explode_blocks, merge_segments
+    from .index.build import build_index
+    from .index.segments import (
+        build_blocked_postings,
+        index_from_blocks,
+        merge_segments,
+    )
 
     key = ("incremental", id(spark), sf_dir)
     if key not in _INDEX_CACHE:
@@ -161,30 +165,7 @@ def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg1 = build_blocked_postings(base.postings, term_dict=base.term_stats)
         seg2 = build_blocked_postings(extra.postings, term_dict=extra.term_stats)
         merged = merge_segments(seg1.unionByName(seg2))
-        postings = explode_blocks(merged)
-        # finalize: re-derive term/corpus stats over the merged segments
-        # (reference finalize(), incremental_builder.py:456-470)
-        term_agg = postings.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("_ttf")
-        )
-        stats = (
-            term_agg.agg(F.sum("_ttf").alias("_total_tokens"))
-            .join(d.agg(F.count("*").alias("n_docs")), how="cross")
-            .select("n_docs", (F.col("_total_tokens") / F.col("n_docs")).alias("avgdl"))
-        )
-        term_stats = (
-            term_agg.join(F.broadcast(stats), how="cross")
-            .withColumn(
-                "idf",
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                ),
-            )
-            .select("term", "df", "idf")
-        )
-        doc_stats = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-        idx = FulltextIndex(postings, term_stats, doc_stats, stats, d, term_agg)
+        idx = index_from_blocks(merged, d)  # finalize(): re-derive stats
         idx.persist()
         _INDEX_CACHE[key] = idx
     idx = _INDEX_CACHE[key]

@@ -289,6 +289,45 @@ def merge_segments(
     )
 
 
+def index_from_blocks(
+    blocks: DataFrame, docs: DataFrame, span_bits: int = DEFAULT_SPAN_BITS
+):
+    """Hydrate a queryable FulltextIndex from a (possibly merged) block
+    table: decode → flat postings, then re-derive df/idf/dl/avgdl — the
+    reference's ``finalize()`` (incremental_builder.py:456-470) over
+    segment-built indexes. ``docs`` supplies n_docs (token-less docs count
+    toward avgdl's denominator, matching build_index) and hydration.
+    Append ≡ rebuild: an index hydrated from merged segments reproduces
+    the flat full-corpus build's rankings exactly (driver entry
+    ``incremental_bm25`` checks this against the full-corpus oracle)."""
+    from pyspark.sql import functions as F2
+
+    from .build import FulltextIndex
+
+    postings = explode_blocks(blocks, span_bits)
+    term_agg = postings.groupBy("term").agg(
+        F2.count("*").alias("df"), F2.sum("tf").alias("_ttf")
+    )
+    stats = (
+        term_agg.agg(F2.sum("_ttf").alias("_total_tokens"))
+        .join(docs.agg(F2.count("*").alias("n_docs")), how="cross")
+        .select("n_docs", (F2.col("_total_tokens") / F2.col("n_docs")).alias("avgdl"))
+    )
+    term_stats = (
+        term_agg.join(F2.broadcast(stats), how="cross")
+        .withColumn(
+            "idf",
+            F2.log(
+                F2.lit(1.0)
+                + (F2.col("n_docs") - F2.col("df") + 0.5) / (F2.col("df") + 0.5)
+            ),
+        )
+        .select("term", "df", "idf")
+    )
+    doc_stats = postings.groupBy("doc_id").agg(F2.max("dl").alias("dl"))
+    return FulltextIndex(postings, term_stats, doc_stats, stats, docs, term_agg)
+
+
 def explode_blocks(blocks: DataFrame, span_bits: int = DEFAULT_SPAN_BITS) -> DataFrame:
     """Decode block rows back to flat postings (round-trip / debugging)."""
 

@@ -340,3 +340,27 @@ def test_extended_eval_metrics_hand_computed(spark):
     assert m["success"] == 1.0
     p, r = 3 / 5, 3 / 3
     assert m["f1"] == pytest.approx(2 * p * r / (p + r))
+
+
+def test_index_from_blocks_reproduces_flat_rankings(spark):
+    """Blocked → hydrated index must rank identically to the flat build
+    (append ≡ rebuild foundation; reference finalize semantics)."""
+    from news_information_retrieval_system_spark.index.segments import (
+        build_blocked_postings,
+        index_from_blocks,
+    )
+    from news_information_retrieval_system_spark.query.bm25 import (
+        bm25_topk,
+        query_terms_df,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flat = build_index(docs)
+    blocks = build_blocked_postings(flat.postings, term_dict=flat.term_stats)
+    hydrated = index_from_blocks(blocks, docs)
+    q = query_terms_df(spark, {"q1": "fast table scan", "q2": "slow value"})
+    a = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk(flat, q, k=10).collect()]
+    b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk(hydrated, q, k=10).collect()]
+    assert sorted(a) == sorted(b)
