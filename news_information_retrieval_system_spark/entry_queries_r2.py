@@ -238,6 +238,25 @@ def q_hybrid_zscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_out(fused)
 
 
+# --------------------------------------------------------- B14 keywords
+KW_K, KW_DOCS = 5, 100
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: top-5 TF-IDF keywords per doc (first KW_DOCS docs) — the
+    PAT-tree keyword-extraction parity op (tfidf scoring)."""
+    from .query.vsm import doc_keywords
+
+    idx = _index(spark, sf_dir)
+    out = doc_keywords(idx, k=KW_K, rank_dp=9).filter(F.col("doc_id") < KW_DOCS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        _e5("w", "w_5dp"),
+    )
+
+
 # -------------------------------------------- Q11 field-phrase / T5 stopwords
 FIELD_PHRASE_QUERY = 'slow AND text:"fast scan"'
 
@@ -534,6 +553,19 @@ FROM rk WHERE rank <= {TOPK}
 ORACLES["hybrid_combmnz_topk"] = _fusion_oracle("combmnz")
 ORACLES["hybrid_zscore_topk"] = _fusion_oracle("zscore")
 
+ORACLES["doc_keywords"] = f"""{_SQL_BASE}
+SELECT doc_id, term, kw_rank, w_5dp FROM (
+  SELECT cast(tf.doc_id AS BIGINT) AS doc_id, tf.term,
+         cast(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round((1 + log10(tf.tf)) * idf.idf, 9) DESC, tf.term ASC
+         ) AS BIGINT) AS kw_rank,
+         cast(round((1 + log10(tf.tf)) * idf.idf * 100000) AS BIGINT) AS w_5dp
+  FROM tf JOIN idf USING (term)
+  WHERE tf.doc_id < {KW_DOCS}
+) WHERE kw_rank <= {KW_K}
+"""
+
 ORACLES["bool_field_phrase"] = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -610,4 +642,5 @@ def registry() -> dict:
         "hybrid_zscore_topk": q_hybrid_zscore_topk,
         "bool_field_phrase": q_bool_field_phrase,
         "bm25_stopfilter_topk": q_bm25_stopfilter_topk,
+        "doc_keywords": q_doc_keywords,
     }

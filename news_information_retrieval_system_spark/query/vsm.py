@@ -52,3 +52,25 @@ def score_tfidf(index: FulltextIndex, qterms: DataFrame, weights: DataFrame | No
 
 def tfidf_topk(index: FulltextIndex, qterms: DataFrame, k: int = 10, weights: DataFrame | None = None) -> DataFrame:
     return topk(score_tfidf(index, qterms, weights), k=k)
+
+
+def doc_keywords(index: FulltextIndex, k: int = 5, rank_dp: int | None = None) -> DataFrame:
+    """(doc_id, term, w, kw_rank): top-k TF-IDF keywords per document —
+    the reference's PAT-tree keyword extraction with tfidf scoring
+    (src/ir/index/pat_tree.py keyword scoring over term_weighting.py ltc
+    weights), re-expressed as one join + one window over the postings
+    table. ``rank_dp`` rounds weights before ranking so independent
+    engines agree on near-ties."""
+    from pyspark.sql import Window
+
+    w = (
+        index.postings.join(index.term_stats.select("term", "idf"), "term")
+        .withColumn("w", (F.lit(1.0) + F.log10("tf")) * F.col("idf"))
+    )
+    order = F.round("w", rank_dp) if rank_dp is not None else F.col("w")
+    win = Window.partitionBy("doc_id").orderBy(F.desc(order), F.asc("term"))
+    return (
+        w.withColumn("kw_rank", F.row_number().over(win))
+        .filter(F.col("kw_rank") <= k)
+        .select("doc_id", "term", "w", "kw_rank")
+    )
