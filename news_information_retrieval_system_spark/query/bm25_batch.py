@@ -124,8 +124,18 @@ def bm25_topk_docpart(
     k1: float = 1.2,
     b: float = 0.75,
     num_partitions: int | None = None,
+    assume_doc_partitioned: bool = False,
 ) -> DataFrame:
-    """qterms(query_id, term[, qtf]) → (query_id, rank, doc_id, score)."""
+    """qterms(query_id, term[, qtf]) → (query_id, rank, doc_id, score).
+
+    ``assume_doc_partitioned=True`` drops the ``repartition(doc_id)``
+    shuffle entirely: the kernel only needs all of a doc's matched
+    postings in ONE kernel call, and postings produced by the shuffle-free
+    ``build_index`` already satisfy that for ANY input layout — a doc's
+    postings derive narrowly from its one source row, so they live in one
+    partition. The whole query plan then moves no posting anywhere (scan →
+    broadcast join → kernel → tiny top-k merge). Leave False for postings
+    of unknown provenance (e.g. repartitioned or hand-built tables)."""
     spark = index.postings.sparkSession
     if "qtf" not in qterms.columns:
         qterms = qterms.withColumn("qtf", F.lit(1))
@@ -164,7 +174,8 @@ def bm25_topk_docpart(
     )
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     kernel = _make_kernel(k, k1, b, avgdl, idf_by_code, queries_by_code, query_ids)
-    cand = hits.repartition(parts, "doc_id").mapInPandas(
+    shaped = hits if assume_doc_partitioned else hits.repartition(parts, "doc_id")
+    cand = shaped.mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
