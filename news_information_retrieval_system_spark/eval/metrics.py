@@ -2,12 +2,17 @@
 
 Reference formulas (src/ir/eval/metrics.py:84-1022): P@k, R@k, F_β (:146),
 AP/MAP, RR/MRR, DCG/nDCG@k with gain ``(2^rel - 1) / log2(i + 1)``
-(:413-520), ERR@k cascade model (:521), RBP (:635), bpref (:718),
-R-precision (:780), success@k (:810). Inputs: ``ranked(query_id, doc_id,
-rank)`` (rank 1-based, unique per query) and ``qrels(query_id, doc_id,
-rel)`` (graded, rel ≥ 0). All expressible as joins + windows — one
-shuffle per join, one per window; the ERR cascade product is a log-space
-running sum over the rank window.
+(:413-520), ERR@k cascade model (:521), GMAP (:581), RBP (:635), bpref
+(:718), R-precision (:780), success@k (:810). Inputs: ``ranked(query_id,
+doc_id, rank)`` (rank 1-based, unique per query) and ``qrels(query_id,
+doc_id, rel)`` (graded, rel ≥ 0).
+
+List-truncation semantics mirror the reference exactly: AP (:246), RR,
+bpref (:718) and R-precision (:780) evaluate the FULL retrieved list,
+while P@k/R@k/F1/nDCG@k/ERR@k/RBP/success@k truncate at ``k``. Both are
+computed in ONE pipeline — a single ranked×qrels join with rank windows
+over the full list, @k metrics gated per row by ``rank <= k`` instead of
+a pre-filter — so the untruncated semantics cost no extra shuffle.
 """
 
 from __future__ import annotations
@@ -17,26 +22,29 @@ from pyspark.sql import functions as F
 
 ERR_MAX_GRADE = 3.0  # reference expected_reciprocal_rank default
 RBP_P = 0.8  # reference rank_biased_precision persistence
-
-
-def _joined(ranked: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
-    r = ranked.filter(F.col("rank") <= k)
-    return r.join(qrels, ["query_id", "doc_id"], "left").fillna({"rel": 0})
+GMAP_EPS = 1e-10  # reference geometric_mean_average_precision epsilon
 
 
 def per_query_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """→ (query_id, p_at_k, r_at_k, f1, ap, rr, ndcg, err, rbp, bpref,
     r_prec, success) — one row per query that has at least one qrel
-    judgment. ERR uses the cascade model with max_grade=3 (metrics.py:521);
-    RBP is binary with p=0.8 (:635); bpref counts judged-nonrelevant =
+    judgment. ERR uses the cascade model with max_grade=3 (metrics.py:521),
+    grades clamped to the 0-3 scale (the raw formula's log(1-R) is
+    undefined above it — the reference would raise; we saturate); RBP is
+    binary with p=0.8 (:635); bpref counts judged-nonrelevant =
     retrieved-but-unjudged, the reference default (:718); R-precision
     evaluates the list as given when it is shorter than R (:780)."""
     totals = qrels.filter(F.col("rel") > 0).groupBy("query_id").agg(
         F.count("*").alias("n_rel")
     )
-    j = _joined(ranked, qrels, k).join(F.broadcast(totals), "query_id")
+    j = (
+        ranked.join(qrels, ["query_id", "doc_id"], "left")
+        .fillna({"rel": 0})
+        .join(F.broadcast(totals), "query_id")
+    )
     w = Window.partitionBy("query_id").orderBy("rank")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    at_k = (F.col("rank") <= k).cast("int")
     j = j.withColumn("is_hit", (F.col("rel") > 0).cast("int"))
     j = j.withColumn("cum_hits", F.sum("is_hit").over(w))
     j = j.withColumn("prec_at_i", F.col("cum_hits") / F.col("rank"))
@@ -44,11 +52,13 @@ def per_query_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataF
         "dcg_term",
         (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0),
     )
-    # ERR cascade: R(r) = (2^rel - 1)/2^max_grade; the Π(1-R(i)) prefix
-    # product becomes exp(Σ ln(1-R)) over the strictly-preceding window
+    # ERR cascade: R(r) = (2^rel - 1)/2^max_grade with rel clamped to the
+    # 0..max_grade scale; the Π(1-R(i)) prefix product becomes
+    # exp(Σ ln(1-R)) over the strictly-preceding window
+    rel_c = F.least(F.col("rel").cast("double"), F.lit(ERR_MAX_GRADE))
     j = j.withColumn(
         "_errR",
-        (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.pow(F.lit(2.0), F.lit(ERR_MAX_GRADE)),
+        (F.pow(F.lit(2.0), rel_c) - 1.0) / F.pow(F.lit(2.0), F.lit(ERR_MAX_GRADE)),
     )
     j = j.withColumn(
         "_err_cont",
@@ -70,12 +80,12 @@ def per_query_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataF
         * (1.0 - F.least(F.col("_nonrel_before"), F.col("n_rel")) / F.col("n_rel")),
     )
     agg = j.groupBy("query_id").agg(
-        F.sum("is_hit").alias("hits"),
+        F.sum(F.col("is_hit") * at_k).alias("hits_k"),
         F.sum(F.col("prec_at_i") * F.col("is_hit")).alias("sum_prec_hits"),
         F.min(F.when(F.col("is_hit") == 1, F.col("rank"))).alias("first_hit"),
-        F.sum("dcg_term").alias("dcg"),
-        F.sum("err_term").alias("err"),
-        F.sum("rbp_term").alias("rbp"),
+        F.sum(F.col("dcg_term") * at_k).alias("dcg"),
+        F.sum(F.col("err_term") * at_k).alias("err"),
+        F.sum(F.col("rbp_term") * at_k).alias("rbp"),
         F.sum("bpref_term").alias("sum_bpref"),
         F.sum(
             F.col("is_hit") * (F.col("rank") <= F.col("n_rel")).cast("int")
@@ -94,8 +104,8 @@ def per_query_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataF
             ).alias("idcg")
         )
     )
-    p_at_k = F.col("hits") / F.lit(float(k))
-    r_at_k = F.col("hits") / F.col("n_rel")
+    p_at_k = F.col("hits_k") / F.lit(float(k))
+    r_at_k = F.col("hits_k") / F.col("n_rel")
     out = (
         agg.join(totals, "query_id", "inner")
         .join(ideal, "query_id", "left")
@@ -115,14 +125,21 @@ def per_query_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataF
             F.col("rbp").alias("rbp"),
             (F.col("sum_bpref") / F.col("n_rel")).alias("bpref"),
             (F.col("rprec_hits") / F.col("n_rel")).alias("r_prec"),
-            (F.col("hits") > 0).cast("double").alias("success"),
+            (F.col("hits_k") > 0).cast("double").alias("success"),
         )
     )
     return out
 
 
 def run_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
-    """Run-level means: (map, mrr, mean_p_at_k, mean_r_at_k, mean_ndcg)."""
+    """Run-level aggregation of ``per_query_metrics``. One row with
+    columns: map, mrr, mean_p_at_k, mean_r_at_k, mean_f1, mean_ndcg,
+    mean_err, mean_rbp, mean_bpref, mean_r_prec, success_rate, gmap.
+
+    GMAP = exp(mean(ln(AP + ε))), ε=1e-10 — the reference's
+    geometric_mean_average_precision (metrics.py:581), which punishes
+    low-AP queries far harder than MAP; success_rate = mean success@k
+    (:810)."""
     pq = per_query_metrics(ranked, qrels, k)
     return pq.agg(
         F.avg("ap").alias("map"),
@@ -136,4 +153,5 @@ def run_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         F.avg("bpref").alias("mean_bpref"),
         F.avg("r_prec").alias("mean_r_prec"),
         F.avg("success").alias("success_rate"),
+        F.exp(F.avg(F.log(F.col("ap") + GMAP_EPS))).alias("gmap"),
     )

@@ -173,11 +173,12 @@ def build_blocked_postings(
     span_bits: int = DEFAULT_SPAN_BITS,
     num_partitions: int | None = None,
     term_dict: DataFrame | None = None,
-    raw_shuffle: bool = False,
+    raw_shuffle: bool | None = None,
+    overlap_threshold: float = 2.0,
 ) -> DataFrame:
     """Flat postings (term, doc_id, tf, dl) → compressed block rows.
 
-    Default plan (segment-then-merge, the Lucene-style shape): each input
+    Segment-then-merge plan (the Lucene-style shape): each input
     partition sorts locally and encodes its own blocks (NO raw-row
     shuffle), producing per-partition SEGMENTS; only the ~10-50× smaller
     encoded block rows are then term-hash shuffled, and fragments of a
@@ -187,8 +188,18 @@ def build_blocked_postings(
     doc-range clustered (dense doc_ids written in order — the engine's
     ingest layout), almost every group is a singleton and the shuffled
     volume is just the compressed index. Scattered input stays CORRECT
-    but fragments heavily; pass ``raw_shuffle=True`` there to shuffle the
-    raw rows once up front instead (the v1 plan).
+    but fragments heavily; there ``raw_shuffle=True`` shuffles the raw
+    rows once up front instead (the v1 plan).
+
+    ``raw_shuffle=None`` (default) AUTO-SELECTS by measuring the layout:
+    one narrow probe job computes each input partition's doc-id span;
+    overlap factor = Σ per-partition spans / global span. Clustered input
+    (disjoint ranges) gives ≈1, fully scattered input ≈ n_partitions —
+    above ``overlap_threshold`` the raw-shuffle plan wins because nearly
+    every (term, block_key) group would fragment across partitions. The
+    probe re-runs the postings subtree once, so call it with postings
+    cached (the normal build flow materializes them first) or pass the
+    plan explicitly.
 
     Either way, hot terms fan out over doc ranges instead of hitting a
     single reducer. Terms traverse the Python kernels as a 128-bit hash
@@ -210,6 +221,20 @@ def build_blocked_postings(
     parts = num_partitions or int(
         postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    if raw_shuffle is None:
+        prof = (
+            blocked.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()
+        )
+        if prof:
+            g_lo = min(r["lo"] for r in prof)
+            g_hi = max(r["hi"] for r in prof)
+            span_sum = sum(r["hi"] - r["lo"] + 1 for r in prof)
+            overlap = span_sum / max(g_hi - g_lo + 1, 1)
+            raw_shuffle = overlap > overlap_threshold
+        else:
+            raw_shuffle = False
     if raw_shuffle:
         enc = (
             blocked.repartition(parts, "tid", "tid2", "block_key")

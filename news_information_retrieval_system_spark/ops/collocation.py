@@ -38,13 +38,20 @@ def collocations(
     id_col: str = "doc_id",
     min_count: int = 5,
 ) -> DataFrame:
-    """(w1, w2, n11, pmi, dice, llr) over adjacent bigrams.
+    """(w1, w2, n11, pmi, dice, llr, chi2, t_score) over adjacent bigrams
+    — the reference's full measure set (collocation.py:216 PMI, :320 χ²,
+    :373 t-score, :412 Dice, plus Dunning LLR).
 
     ONE corpus pass: the marginals c1/c2 and the bigram total are all
     derived from the (w1, w2) count table — Σ_w2 n11, Σ_w1 n11, Σ n11 —
-    instead of re-tokenizing the corpus once per statistic. The four
-    subtrees share one identical shuffle, which Catalyst's ReuseExchange
-    collapses into a single exchange in the executed plan."""
+    instead of re-tokenizing the corpus once per statistic. χ² uses the
+    same 2×2 contingency table as LLR (:320-371, (O-E)²/E over four
+    cells); the t-score's unigram probabilities use the bigram-slot
+    marginals c1/N, c2/N (the standard corpus-linguistics estimator —
+    differs from the reference's whole-corpus unigram counts only by
+    each document's boundary token). The subtrees share one identical
+    shuffle, which Catalyst's ReuseExchange collapses into a single
+    exchange in the executed plan."""
     bg = bigrams_df(docs, text_col, id_col)
     n11 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n11"))
     total = n11.agg(F.sum("n11").alias("n_bigrams"))
@@ -76,7 +83,26 @@ def collocations(
     e21 = (n - F.col("c1")) * F.col("c2") / n
     e22 = (n - F.col("c1")) * (n - F.col("c2")) / n
     llr = 2.0 * (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22))
-    return j.select("w1", "w2", "n11", pmi.alias("pmi"), dice.alias("dice"), llr.alias("llr"))
+
+    def chi_cell(o, e):
+        return F.when(e > 0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
+
+    chi2 = (
+        chi_cell(o11, e11)
+        + chi_cell(o12, e12)
+        + chi_cell(o21, e21)
+        + chi_cell(o22, e22)
+    )
+    # t = (P(w1,w2) - P(w1)P(w2)) / sqrt(P(w1,w2) / N)
+    t_score = (p - p1 * p2) / F.sqrt(p / n)
+    return j.select(
+        "w1", "w2", "n11",
+        pmi.alias("pmi"),
+        dice.alias("dice"),
+        llr.alias("llr"),
+        chi2.alias("chi2"),
+        t_score.alias("t_score"),
+    )
 
 
 def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -93,33 +119,67 @@ def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text", id_col: st
     return grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
 
 
+def ngrams_ctx_df(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, ctx, w) — one row per n-gram window occurrence, split into
+    the (n-1)-token context (space-joined; '' for n=1, the reference's
+    empty tuple, ngram.py:170-177) and the predicted word. Pure JVM array
+    transform; windows that run past the document end produce a NULL
+    predicted word and are filtered."""
+    assert n >= 1
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1))),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(t, i, n - 1)).alias("ctx"),
+            F.element_at(t, i + F.lit(n - 1)).alias("w"),
+        ),
+    )
+    return (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.ctx", "g.w")
+        .filter(F.col("w").isNotNull())
+    )
+
+
 def ngram_lm_logprob(
     docs: DataFrame,
     eval_docs: DataFrame,
     n: int = 2,
     add_k: float = 1.0,
 ) -> DataFrame:
-    """Add-k smoothed bigram LM trained on ``docs``, scored on
-    ``eval_docs``: (doc_id, logprob, n_grams, perplexity)."""
-    assert n == 2, "bigram LM only"
-    # one training pass: unigram context counts are Σ_w2 of the bigram
-    # counts (ReuseExchange shares the shuffle); vocab stays a lazy 1-row
-    # frame instead of an eager distinct().count() driver action
-    train_bg = bigrams_df(docs).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    train_u = train_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    """Add-k smoothed n-gram LM (any n ≥ 1) trained on ``docs``, scored on
+    ``eval_docs``: (doc_id, logprob, n_grams, perplexity).
+
+    Reference semantics (ngram.py:128-467): context count = number of
+    windows whose first n-1 tokens equal the context (:180-183), which is
+    exactly Σ_w of the n-gram count table — ONE training aggregation, the
+    context marginal shares its shuffle via ReuseExchange. Laplace/add-k
+    P(w|ctx) = (c+k)/(c_ctx+kV) (:259-271); an unseen eval context gets
+    c_ctx=0 → k/(kV) = 1/V, the reference's Counter-default behavior.
+    Perplexity = exp(-mean ln p) ≡ the reference's 2^(-mean log2 p)
+    (:394-421)."""
+    train = (
+        ngrams_ctx_df(docs, n)
+        .groupBy("ctx", "w")
+        .agg(F.count("*").alias("c_ng"))
+    )
+    ctx_counts = train.groupBy("ctx").agg(F.sum("c_ng").alias("c_ctx"))
     vocab_df = (
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .agg(F.countDistinct("w").alias("vocab"))
     )
-    ev = bigrams_df(eval_docs)
+    ev = ngrams_ctx_df(eval_docs, n)
     scored = (
-        ev.join(train_bg, ["w1", "w2"], "left")
-        .join(train_u, "w1", "left")
+        ev.join(train, ["ctx", "w"], "left")
+        .join(ctx_counts, "ctx", "left")
         .join(F.broadcast(vocab_df), how="cross")
-        .fillna({"c12": 0, "c1": 0})
+        .fillna({"c_ng": 0, "c_ctx": 0})
         .withColumn(
             "logp",
-            F.log((F.col("c12") + add_k) / (F.col("c1") + add_k * F.col("vocab"))),
+            F.log((F.col("c_ng") + add_k) / (F.col("c_ctx") + add_k * F.col("vocab"))),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -28,6 +28,19 @@ from pyspark.sql.types import LongType
 from ..tokenize import py_tokenize, tokens_col
 
 
+def _eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize the (candidate-pair — small relative to the corpus)
+    result, then release the cached intermediates so repeated calls in a
+    long-lived session don't accumulate executor storage until LRU
+    eviction. The returned DataFrame is itself persisted: the ONE handle
+    the caller owns and should ``.unpersist()`` when done with it."""
+    result = result.persist()
+    result.count()
+    for df in intermediates:
+        df.unpersist()
+    return result
+
+
 # ----------------------------------------------------------------- exact
 def content_hash_col(text=None):
     """MD5 content hash (reference doc_reader.py:71-94)."""
@@ -178,7 +191,7 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming_dist") <= hamming)
     )
-    return pairs
+    return _eager_release(pairs, h)
 
 
 # ------------------------------------------------------------ minhash LSH
@@ -251,7 +264,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return verify_jaccard(cand, sh, threshold)
+    return _eager_release(verify_jaccard(cand, sh, threshold), sh)
 
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
@@ -292,10 +305,11 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _eager_release(out, sh)

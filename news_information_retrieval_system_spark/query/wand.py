@@ -162,12 +162,15 @@ def wand_topk(
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
 
     Two-phase plan (seed_theta=True):
-      1. JVM-side per-(query, block_key) UB sums; each query's single
-         best-UB group is scored exactly (tiny kernel job) → θ0(q) = its
-         k-th best score, a LOWER bound on the global k-th best.
-      2. groups where no query's UB reaches its θ0 are dropped JVM-side
-         BEFORE the shuffle (semi-join on live block_keys); the kernel
-         prunes per-query with max(θ0, partition heap θ).
+      1. ONE metadata job collects the (tiny) per-(query, block_key) UB
+         aggregate; the driver picks each query's best-UB seed group, and
+         a second (tiny) kernel job scores those groups exactly →
+         θ0(q) = q's k-th best seed score, a LOWER bound on the global
+         k-th best.
+      2. live block keys are filtered from the already-collected UB rows
+         on the driver (no extra job) and broadcast-semi-joined so pruned
+         groups never shuffle; the kernel prunes per-query with
+         max(θ0, partition heap θ).
     Correctness: a group with UB_q < θ0(q) cannot contain a top-k doc for
     q because ≥k docs scoring ≥ θ0(q) already exist (in q's seed group).
     Pruning power is thus independent of partition count — the fix for
@@ -193,59 +196,68 @@ def wand_topk(
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     theta0: dict[str, float] = {}
     if seed_theta:
-        # Persist only the small per-(query, block_key) UB aggregate — it is
-        # read by two eager jobs below (seed keys + live keys). qmeta itself
-        # (the blocks × queries join carrying the data blobs) stays lazy:
-        # recomputing its narrow lineage in the final job is cheaper than
-        # leaking a cached copy of the whole block table per call.
-        qb = (
+        # The per-(query, block_key) UB aggregate is tiny — at most
+        # |Q| × (n_docs >> span_bits) rows (a 4M-doc corpus has ~244 doc
+        # ranges; a 256-query batch → ≤ 63k rows). Collect it ONCE and do
+        # both seed-key selection and, after θ0 is known, live-key
+        # filtering driver-side: one metadata job + one tiny kernel job,
+        # vs the previous three eager jobs (qb materialize/window,
+        # seed collect, live-key collect) and a persist on qb.
+        # Scale bound: the collect is |Q| × doc-ranges-touched rows. At
+        # 10^12 docs (6×10^7 ranges at span_bits=14) a stopword-heavy batch
+        # would overflow the driver — there, raise span_bits for the block
+        # metadata rollup or seed θ0 from a corpus sample; the pruning
+        # below stays correct for ANY valid per-query lower bound.
+        qb_rows = (
             qmeta.select("block_key", "ub_base", F.explode("queries").alias("q"))
             .groupBy(F.col("q.query_id").alias("query_id"), F.col("block_key"))
             .agg(F.sum(F.col("q.qtf") * F.col("ub_base")).alias("ub"))
-        ).persist()
-        wseed = Window.partitionBy("query_id").orderBy(
-            F.desc("ub"), F.asc("block_key")
-        )
-        seed_keys = (
-            qb.withColumn("rn", F.row_number().over(wseed))
-            .filter(F.col("rn") == 1)
-            .select("block_key")
-            .distinct()
-        )
-        seed_kernel = _make_kernel(k, k1, b, avgdl, span_bits)
-        seed_cand = (
-            qmeta.join(F.broadcast(seed_keys), "block_key")
-            .repartition(min(parts, 8), "block_key")
-            .mapInPandas(seed_kernel, schema="query_id string, doc_id long, score double")
-            .collect()  # ≤ partitions × |Q| × k rows; k-th best computed
-        )  # driver-side — cheaper than another shuffle+window job
-        by_q: dict[str, list[float]] = {}
-        for r in seed_cand:
-            by_q.setdefault(r["query_id"], []).append(float(r["score"]))
-        theta0 = {
-            q: sorted(ss, reverse=True)[k - 1] for q, ss in by_q.items() if len(ss) >= k
-        }
-        if theta0:
-            th_df = spark.createDataFrame(
-                list(theta0.items()), "query_id string, theta double"
+        ).collect()
+        best: dict[str, tuple[float, int]] = {}
+        for r in qb_rows:
+            q, u, bk = r["query_id"], float(r["ub"]), int(r["block_key"])
+            cur = best.get(q)
+            # max ub; ties → lowest block_key (matches desc(ub), asc(bk))
+            if cur is None or (u, -bk) > (cur[0], -cur[1]):
+                best[q] = (u, bk)
+        seed_bks = sorted({bk for _, bk in best.values()})
+        if seed_bks:
+            seed_keys = spark.createDataFrame(
+                [(bk,) for bk in seed_bks], "block_key long"
             )
-            # materialize the surviving block keys eagerly (≤ one row per
-            # 2^span_bits-doc range) so the final job holds no reference to
-            # the cached qb and it can be unpersisted before returning
-            live_rows = (
-                qb.join(F.broadcast(th_df), "query_id", "left")
-                .filter(
-                    F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
+            seed_kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+            seed_cand = (
+                qmeta.join(F.broadcast(seed_keys), "block_key")
+                .repartition(min(parts, 8), "block_key")
+                .mapInPandas(
+                    seed_kernel, schema="query_id string, doc_id long, score double"
                 )
-                .select("block_key")
-                .distinct()
-                .collect()
+                .collect()  # ≤ partitions × |Q| × k rows
+            )
+            by_q: dict[str, list[float]] = {}
+            for r in seed_cand:
+                by_q.setdefault(r["query_id"], []).append(float(r["score"]))
+            theta0 = {
+                q: sorted(ss, reverse=True)[k - 1]
+                for q, ss in by_q.items()
+                if len(ss) >= k
+            }
+        if theta0:
+            # live keys straight from the already-collected aggregate: a
+            # group survives if ANY query either has no θ0 yet (seed found
+            # < k docs) or reaches its θ0 there
+            live = sorted(
+                {
+                    int(r["block_key"])
+                    for r in qb_rows
+                    if r["query_id"] not in theta0
+                    or float(r["ub"]) >= theta0[r["query_id"]]
+                }
             )
             live_keys = spark.createDataFrame(
-                [(r["block_key"],) for r in live_rows], "block_key long"
+                [(bk,) for bk in live], "block_key long"
             )
             qmeta = qmeta.join(F.broadcast(live_keys), "block_key")
-        qb.unpersist()
     kernel = _make_kernel(k, k1, b, avgdl, span_bits, theta0)
     candidates = qmeta.repartitionByRange(parts, "block_key").mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"

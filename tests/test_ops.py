@@ -124,3 +124,32 @@ def test_metrics_hand_computed(spark):
     assert m["ndcg"] == pytest.approx(dcg / idcg)
     run = run_metrics(ranked, qrels, k=4).collect()[0]
     assert run["map"] == pytest.approx(m["ap"])
+
+
+def test_full_list_metrics_and_truncated_metrics(spark):
+    """AP/RR/bpref/R-prec evaluate the FULL retrieved list; P@k/nDCG/ERR
+    truncate (reference metrics.py:246,718,780 vs :146,413,521). A
+    relevant doc beyond rank k must count for AP/bpref/r_prec but not
+    P@k; an out-of-scale grade must not poison ERR (clamped to 3)."""
+    ranked = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate([10, 11, 12, 13, 14, 15], start=1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 10, 5), ("q", 15, 1)],  # grade 5 > ERR max grade 3
+        "query_id string, doc_id long, rel int",
+    )
+    m = per_query_metrics(ranked, qrels, k=3).collect()[0]
+    assert m["p_at_k"] == pytest.approx(1 / 3)  # only doc 10 within k=3
+    # AP over the full list: hits at rank 1 and 6 → (1/1 + 2/6)/2
+    assert m["ap"] == pytest.approx((1.0 + 2 / 6) / 2)
+    # bpref: doc10 has 0 nonrel before; doc15 has 4 → 1 - min(4,2)/2 = 0
+    assert m["bpref"] == pytest.approx((1.0 + 0.0) / 2)
+    assert m["r_prec"] == pytest.approx(1 / 2)  # R=2, hits in top-2 = 1
+    # ERR: grade clamped to 3 → R1 = 7/8; finite, no null-skip inflation
+    assert m["err"] == pytest.approx(7 / 8)
+    run = run_metrics(ranked, qrels, k=3).collect()[0]
+    assert run["gmap"] == pytest.approx(
+        math.exp(math.log(m["ap"] + 1e-10)), rel=1e-9
+    )
+    assert run["success_rate"] == 1.0
