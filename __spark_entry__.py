@@ -24,6 +24,7 @@ from news_information_retrieval_system_spark import entry_queries as EQ  # noqa:
 from news_information_retrieval_system_spark import entry_queries_batch3 as EQ3  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_ops as EQO  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r2 as EQR2  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_r3 as EQR3  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,8 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.registry(), **EQO.registry(), **EQ3.registry(), **EQR2.registry()}
+    return {
+        **EQ.registry(),
+        **EQO.registry(),
+        **EQ3.registry(),
+        **EQR2.registry(),
+        **EQR3.registry(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES, **EQR2.ORACLES}
+    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES, **EQR2.ORACLES, **EQR3.ORACLES}

@@ -81,3 +81,77 @@ def test_compression_beats_baseline_on_dense_runs():
     dls = np.full(10_000, 30, dtype=np.int64)
     # gaps of 1, tf 1, dl 30 → ~1 byte per int vs 4-byte baseline
     assert compression_ratio(ids, tfs, dls, 0) < 0.3
+
+
+# ---------------------------------------------------- Elias Gamma / Delta
+from news_information_retrieval_system_spark.index.codec import (  # noqa: E402
+    compare_compression,
+    delta_bit_lengths,
+    delta_decode,
+    delta_encode,
+    gamma_bit_lengths,
+    gamma_decode,
+    gamma_encode,
+    varint_byte_lengths,
+)
+
+
+def _bitstr(data: bytes, total_bits: int) -> str:
+    b = np.frombuffer(data, dtype=np.uint8)
+    return "".join(str((b[i // 8] >> (7 - i % 8)) & 1) for i in range(total_bits))
+
+
+def test_gamma_reference_examples():
+    """Bit-exact with reference compression.py:278-290 docstrings."""
+    for n, code in [(1, "1"), (5, "00101"), (13, "0001101")]:
+        s, tb = gamma_encode(np.array([n], dtype=np.uint64))
+        assert _bitstr(s, tb) == code
+
+
+def test_delta_reference_examples():
+    """Bit-exact with reference compression.py:478-486 docstrings."""
+    for n, code in [(1, "1"), (5, "01101"), (13, "00100101")]:
+        s, tb = delta_encode(np.array([n], dtype=np.uint64))
+        assert _bitstr(s, tb) == code
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**40), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_gamma_delta_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    s, tb = gamma_encode(arr)
+    assert gamma_decode(s, tb).tolist() == vals
+    assert tb == int(gamma_bit_lengths(arr).sum())
+    s, tb = delta_encode(arr)
+    assert delta_decode(s, tb).tolist() == vals
+    assert tb == int(delta_bit_lengths(arr).sum())
+
+
+def test_bit_length_formulas_match_column_expressions():
+    """The JVM/SQL size expressions used by the compression_compare oracle
+    (2*(bitlen-1)+1 and 2*(bitlen(bitlen)-1)+1 + bitlen-1) must equal the
+    real encoders' output sizes value-for-value."""
+    v = np.arange(1, 5000, dtype=np.uint64)
+    bl = np.frompyfunc(int.bit_length, 1, 1)(v.astype(object)).astype(np.int64)
+    assert (gamma_bit_lengths(v) == 2 * (bl - 1) + 1).all()
+    blbl = np.frompyfunc(int.bit_length, 1, 1)(bl.astype(object)).astype(np.int64)
+    assert (delta_bit_lengths(v) == 2 * (blbl - 1) + 1 + bl - 1).all()
+    # varint byte CASE used in SQL
+    cases = np.select(
+        [v < 128, v < 16384, v < 2097152, v < 268435456], [1, 2, 3, 4], 5
+    )
+    assert (varint_byte_lengths(v) == cases).all()
+
+
+def test_compare_compression_reference_example():
+    """Reference compare_compression docstring (compression.py:653-656):
+    doc_ids [3,7,10,15,22,30,35] → vbyte ratio 0.25 (7 one-byte gaps /
+    28-byte baseline). Our first gap is doc_id[0]+1=4, still one byte."""
+    stats = compare_compression(np.array([3, 7, 10, 15, 22, 30, 35]))
+    assert stats["original_size"] == 28
+    assert stats["vbyte"]["compressed_size"] == 7
+    assert stats["vbyte"]["compression_ratio"] == 0.25
+    # gamma bits: gaps [4,4,3,5,7,8,5] → 5+5+3+5+5+7+5 = 35 bits → 5 bytes
+    assert stats["gamma"]["compressed_size"] == 5
+    # delta bits: [4,4,3,5,7,8,5] → 5+5+4+5+5+8+5 = 37 bits → 5 bytes
+    assert stats["delta"]["compressed_size"] == 5
