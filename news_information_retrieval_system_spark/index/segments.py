@@ -405,9 +405,38 @@ def build_resumable(
     # Stage the input ONCE, hive-partitioned by bucket: each bucket job then
     # scans only its own partition directory (partition pruning) instead of
     # re-scanning the whole corpus num_buckets times. Idempotent: the staged
-    # copy is reused on restart (it is keyed by the same out_dir).
+    # copy is reused on restart — but ONLY when it was staged from the same
+    # build configuration. A manifest (doc count + corpus content hash +
+    # bucketing/tokenizer params) guards the reuse: a restart with different
+    # docs or num_buckets would otherwise silently read a stale staging
+    # whose bucket membership disagrees with the lineage log.
     staged = out / "staged_input"
-    if not (staged / "_SUCCESS").exists():
+    manifest_path = out / "staging_manifest.json"
+    corpus_sig = docs.select(
+        F.count("*").alias("n"),
+        # order-insensitive content signature: XOR-fold of row hashes
+        F.expr(f"cast(sum(xxhash64({id_col}, {text_col}) % 1000000007) as long)").alias("sig"),
+    ).first()
+    manifest = {
+        "n_docs": corpus_sig["n"],
+        "corpus_sig": int(corpus_sig["sig"] or 0),
+        "num_buckets": num_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+        "tokenizer_mode": tokenizer_mode,
+    }
+    stale = True
+    if (staged / "_SUCCESS").exists() and manifest_path.exists():
+        stale = json.loads(manifest_path.read_text()) != manifest
+        if stale and done:
+            raise ValueError(
+                "build_resumable: staged input at "
+                f"{staged} was built from a different corpus/configuration "
+                f"than this call, but {len(done)} bucket(s) are already "
+                "recorded in the lineage log. Refusing to mix: use a fresh "
+                "out_dir (or delete the lineage log to rebuild)."
+            )
+    if stale:
         (
             docs.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
@@ -417,6 +446,7 @@ def build_resumable(
             .partitionBy("bucket")
             .parquet(str(staged))
         )
+        manifest_path.write_text(json.dumps(manifest))
     spark_ref = docs.sparkSession
     tok = tokenizer(tokenizer_mode)
     for b in range(num_buckets):

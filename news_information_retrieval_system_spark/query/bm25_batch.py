@@ -125,6 +125,7 @@ def bm25_topk_docpart(
     b: float = 0.75,
     num_partitions: int | None = None,
     assume_doc_partitioned: bool = False,
+    max_closure_rows: int = 2_000_000,
 ) -> DataFrame:
     """qterms(query_id, term[, qtf]) → (query_id, rank, doc_id, score).
 
@@ -135,16 +136,38 @@ def bm25_topk_docpart(
     postings derive narrowly from its one source row, so they live in one
     partition. The whole query plan then moves no posting anywhere (scan →
     broadcast join → kernel → tiny top-k merge). Leave False for postings
-    of unknown provenance (e.g. repartitioned or hand-built tables)."""
+    of unknown provenance (e.g. repartitioned or hand-built tables).
+
+    SCALE BOUND: the (query × matched-term) table is collected and ships
+    in the task closure — |rows| ≤ Σ_q |distinct terms of q|, ~a few
+    thousand for a 256-query batch, INDEPENDENT of corpus size. It is NOT
+    bounded in the batch size: a 100k-query batch with 30 distinct terms
+    each is 3M closure rows (~100 MB serialized). ``max_closure_rows``
+    fails fast past the bound instead of silently building a task closure
+    that every executor must deserialize; split the batch (the union of
+    per-chunk results is exact — queries are independent) or use the
+    broadcast-join plan in query/bm25.py for huge batches."""
     spark = index.postings.sparkSession
     if "qtf" not in qterms.columns:
         qterms = qterms.withColumn("qtf", F.lit(1))
     n_docs, avgdl = index.scalar_stats()
+    # checked AFTER the (single-job) collect — an up-front count would add
+    # a per-call job, and fixed per-call jobs are exactly what caps this
+    # plan's scaling at small inputs; the limit+1 fetch still refuses
+    # before any task closure ships
     qrows = (
         index.term_stats.join(F.broadcast(qterms), "term")
         .select("term", "idf", "query_id", "qtf")
+        .limit(max_closure_rows + 1)
         .collect()
     )
+    if len(qrows) > max_closure_rows:
+        raise ValueError(
+            f"bm25_topk_docpart: query batch expands to more than "
+            f"max_closure_rows={max_closure_rows} (query, term) closure "
+            "rows. Split the batch into chunks (results union exactly) or "
+            "use the broadcast-join plan in bm25.py."
+        )
     if not qrows:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"

@@ -87,3 +87,19 @@ def test_docpart_no_shuffle_mode_identical(spark):
     b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
          for r in bm25_topk_docpart(idx, q, k=10, assume_doc_partitioned=True).collect()]
     assert sorted(a) == sorted(b) and len(a) == 20
+
+
+def test_docpart_closure_bound_fails_fast(spark, mini_docs):
+    from news_information_retrieval_system_spark.index.build import build_index
+    from news_information_retrieval_system_spark.query.bm25 import query_terms_df
+    from news_information_retrieval_system_spark.query.bm25_batch import (
+        bm25_topk_docpart,
+    )
+
+    idx = build_index(mini_docs)
+    q = query_terms_df(spark, {"q1": "fast index scan"})
+    with pytest.raises(ValueError, match="max_closure_rows"):
+        bm25_topk_docpart(idx, q, k=3, max_closure_rows=2)
+    # at/below the bound: normal results
+    out = bm25_topk_docpart(idx, q, k=3, max_closure_rows=100)
+    assert out.count() > 0

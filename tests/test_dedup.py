@@ -107,3 +107,28 @@ def test_no_cached_rdds_leak_after_ops(spark, docs):
         out.count()
         out.unpersist(blocking=True)
         assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_simhash_planted_precision_and_completeness(spark):
+    """The driver's simhash oracle gates completeness only (the entry
+    semi-joins candidates with the planted set); this is the matching
+    PRECISION gate: on a planted corpus the full verified pair set must
+    equal the planted set EXACTLY — spurious candidate pairs from a
+    banding or hamming-filter regression fail here."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    base = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(40)]
+    planted = [
+        (i + 100000, " ".join(t.split()[:27]))  # 10% truncation near-dup
+        for i, t in base
+        if i % 10 == 0
+    ]
+    docs = spark.createDataFrame(base + planted, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(docs, hamming=15, bands=16).collect()
+    }
+    want = {(i, i + 100000) for i, _ in base if i % 10 == 0}
+    assert got == want

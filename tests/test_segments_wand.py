@@ -165,3 +165,33 @@ def test_narrow_blocked_build_equals_raw_shuffle_under_fragmentation(spark):
         assert (ra["n"], ra["min_doc"], ra["max_doc"], ra["max_tf"], ra["min_dl"]) == (
             rb["n"], rb["min_doc"], rb["max_doc"], rb["max_tf"], rb["min_dl"]
         )
+
+
+def test_resumable_staging_manifest_guard(spark, corpus, tmp_path):
+    """A restart whose corpus or bucketing config differs from the staged
+    input must not silently reuse the stale staging: with lineage already
+    recorded it refuses; with no lineage it restages (round-2 ADVICE)."""
+    import json as _json
+    import pytest as _pytest
+
+    out = tmp_path / "idx3"
+    build_resumable(spark, corpus, str(out), num_buckets=4, span_bits=SPAN)
+    assert (out / "staging_manifest.json").exists()
+    # different num_buckets + completed lineage → hard refusal
+    with _pytest.raises(ValueError, match="different corpus/configuration"):
+        build_resumable(spark, corpus, str(out), num_buckets=8, span_bits=SPAN)
+    # different corpus + completed lineage → hard refusal
+    other = corpus.limit(corpus.count() - 5)
+    with _pytest.raises(ValueError, match="different corpus/configuration"):
+        build_resumable(spark, other, str(out), num_buckets=4, span_bits=SPAN)
+    # same corpus/config → clean no-op resume, manifest unchanged
+    m0 = _json.loads((out / "staging_manifest.json").read_text())
+    build_resumable(spark, corpus, str(out), num_buckets=4, span_bits=SPAN)
+    assert _json.loads((out / "staging_manifest.json").read_text()) == m0
+    # fresh dir, no lineage: a config change just restages
+    out2 = tmp_path / "idx4"
+    build_resumable(spark, corpus, str(out2), num_buckets=2, span_bits=SPAN)
+    (out2 / "lineage.jsonl").unlink()
+    build_resumable(spark, corpus, str(out2), num_buckets=4, span_bits=SPAN)
+    m2 = _json.loads((out2 / "staging_manifest.json").read_text())
+    assert m2["num_buckets"] == 4
