@@ -25,6 +25,7 @@ from news_information_retrieval_system_spark import entry_queries_batch3 as EQ3 
 from news_information_retrieval_system_spark import entry_queries_ops as EQO  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r2 as EQR2  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r3 as EQR3  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_r4 as EQR4  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,8 +41,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQ3.registry(),
         **EQR2.registry(),
         **EQR3.registry(),
+        **EQR4.registry(),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQO.ORACLES, **EQ3.ORACLES, **EQR2.ORACLES, **EQR3.ORACLES}
+    return {
+        **EQ.ORACLES,
+        **EQO.ORACLES,
+        **EQ3.ORACLES,
+        **EQR2.ORACLES,
+        **EQR3.ORACLES,
+        **EQR4.ORACLES,
+    }

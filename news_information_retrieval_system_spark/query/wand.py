@@ -156,10 +156,22 @@ def wand_topk(
     k1: float = 1.2,
     b: float = 0.75,
     span_bits: int = DEFAULT_SPAN_BITS,
-    seed_theta: bool = True,  # two-phase θ seeding (exact either way)
+    seed_theta: bool = False,  # two-phase θ seeding (exact either way)
 ) -> DataFrame:
     """blocks: segments.BLOCK_SCHEMA table. qterms_with_idf: (query_id,
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
+
+    Default is the ONE-job plan (seed_theta=False): partition-local heap
+    θ only. Measured (interleaved min-of-N on identical cached blocks,
+    256-query batch): no-seed beats the fused seed 1.35s vs 4.61s at
+    200k turns/local[32] AND 18.5s vs 32.3s at 4M turns/pinned
+    local[8] — the seed's extra metadata-aggregate job costs more than
+    its extra pruning saves at every regime tested, because the
+    partition-local heaps already fill within the first few UB-sorted
+    groups. Seeding remains available for the regime it was built for:
+    very many small partitions (heaps stay cold) over very large
+    block tables, where a global lower bound prunes what local heaps
+    cannot.
 
     Two-phase plan (seed_theta=True):
       1. ONE metadata job collects the (tiny) per-(query, block_key) UB
