@@ -173,6 +173,8 @@ def main() -> None:
         "n_postings": n_postings,
         "n_blocks": n_blocks,
         "cores": cores,
+        "n_queries": N_QUERIES,
+        "n_naive": N_NAIVE,
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "qps_bm25": round(N_NAIVE / times["bm25_batch"], 2),
         "qps_docpart": round(N_QUERIES / times["bm25_docpart"], 2),
