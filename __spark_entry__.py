@@ -26,6 +26,7 @@ from news_information_retrieval_system_spark import entry_queries_ops as EQO  # 
 from news_information_retrieval_system_spark import entry_queries_r2 as EQR2  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r3 as EQR3  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r4 as EQR4  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_ltr as EQLTR  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQR2.registry(),
         **EQR3.registry(),
         **EQR4.registry(),
+        **EQLTR.registry(),
     }
 
 
@@ -53,4 +55,5 @@ def oracle_sql() -> dict[str, str]:
         **EQR2.ORACLES,
         **EQR3.ORACLES,
         **EQR4.ORACLES,
+        **EQLTR.ORACLES,
     }
