@@ -27,6 +27,7 @@ from news_information_retrieval_system_spark import entry_queries_r2 as EQR2  # 
 from news_information_retrieval_system_spark import entry_queries_r3 as EQR3  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_r4 as EQR4  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_ltr as EQLTR  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_topics as EQTOP  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQR3.registry(),
         **EQR4.registry(),
         **EQLTR.registry(),
+        **EQTOP.registry(),
     }
 
 
@@ -56,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
         **EQR3.ORACLES,
         **EQR4.ORACLES,
         **EQLTR.ORACLES,
+        **EQTOP.ORACLES,
     }
