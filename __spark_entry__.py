@@ -28,6 +28,7 @@ from news_information_retrieval_system_spark import entry_queries_r3 as EQR3  # 
 from news_information_retrieval_system_spark import entry_queries_r4 as EQR4  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_ltr as EQLTR  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_topics as EQTOP  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_feedback as EQFB  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQR4.registry(),
         **EQLTR.registry(),
         **EQTOP.registry(),
+        **EQFB.registry(),
     }
 
 
@@ -59,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
         **EQR4.ORACLES,
         **EQLTR.ORACLES,
         **EQTOP.ORACLES,
+        **EQFB.ORACLES,
     }
