@@ -56,6 +56,27 @@ def q_feedback_user_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "views", "clicks", _e5("ctr", "ctr_5dp"))
 
 
+SESSION_GAP_MIN = 240  # driver events are hours apart per user; a gap this
+# size yields real multi-event sessions (≈30% grouping at sf0.01), so the
+# oracle exercises the cumulative-sum assignment, not just the lag flag
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (ops/sessions.py): per-session event
+    count, duration, summed value. Window lag + cumulative sum — the
+    DuckDB oracle replays the identical window algebra."""
+    from .ops.sessions import session_stats
+
+    out = session_stats(_events(spark, sf_dir), gap_minutes=SESSION_GAP_MIN)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "duration_sec",
+        _e5("total_value", "total_value_5dp"),
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["feedback_event_stats"] = """
@@ -96,9 +117,37 @@ LIMIT {CTR_K}
 """
 
 
+ORACLES["session_stats"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT *,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       CAST(round(sum(value) * 100000) AS BIGINT) AS total_value_5dp
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
 def registry():
     return {
         "feedback_event_stats": q_feedback_event_stats,
         "feedback_top_clicked": q_feedback_top_clicked,
         "feedback_user_ctr": q_feedback_user_ctr,
+        "session_stats": q_session_stats,
     }
