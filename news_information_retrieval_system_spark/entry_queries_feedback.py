@@ -56,6 +56,20 @@ def q_feedback_user_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "views", "clicks", _e5("ctr", "ctr_5dp"))
 
 
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (p50/p90/p99); Spark `percentile`
+    interpolates identically to DuckDB `quantile_cont`."""
+    from .ops.feedback import value_quantiles
+
+    out = value_quantiles(_events(spark, sf_dir), probs=(0.5, 0.9, 0.99))
+    return out.select(
+        "event_type",
+        _e5("p50", "p50_5dp"),
+        _e5("p90", "p90_5dp"),
+        _e5("p99", "p99_5dp"),
+    ).orderBy("event_type")
+
+
 SESSION_GAP_MIN = 240  # driver events are hours apart per user; a gap this
 # size yields real multi-event sessions (≈30% grouping at sf0.01), so the
 # oracle exercises the cumulative-sum assignment, not just the lag flag
@@ -144,10 +158,22 @@ GROUP BY user_id, session_seq
 """
 
 
+ORACLES["event_value_quantiles"] = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5) * 100000) AS BIGINT) AS p50_5dp,
+       CAST(round(quantile_cont(value, 0.9) * 100000) AS BIGINT) AS p90_5dp,
+       CAST(round(quantile_cont(value, 0.99) * 100000) AS BIGINT) AS p99_5dp
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def registry():
     return {
         "feedback_event_stats": q_feedback_event_stats,
         "feedback_top_clicked": q_feedback_top_clicked,
         "feedback_user_ctr": q_feedback_user_ctr,
+        "event_value_quantiles": q_event_value_quantiles,
         "session_stats": q_session_stats,
     }

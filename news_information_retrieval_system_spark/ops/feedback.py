@@ -83,6 +83,28 @@ def top_docs(
     )
 
 
+def value_quantiles(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event-type value quantiles → (event_type, p50, p90, ...).
+
+    The latency-percentile face of ``_model_metrics``' avg-latency
+    column (feedback_analytics_service.py:205-232) — averages hide tail
+    behavior, percentiles are what an operator actually watches. EXACT
+    ``percentile`` (linear interpolation, ≡ SQL ``quantile_cont``) so the
+    result is oracle-checkable; at 100 TB swap in ``approx_percentile``
+    — same call shape, sketch-mergeable, no exact global sort.
+    """
+    aggs = [
+        F.percentile(value_col, F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return events.groupBy(F.col(type_col).alias("event_type")).agg(*aggs)
+
+
 def user_ctr(
     events: DataFrame,
     click_type: str = "click",
