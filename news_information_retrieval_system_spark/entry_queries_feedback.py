@@ -70,6 +70,28 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+WINDOW_HOURS = 6
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming/analytics.windowed_event_counts (the same
+    expression tree the streamed complete-mode test pins): tumbling
+    6-hour per-type rollups. Window starts exported as epoch seconds;
+    Spark's epoch-aligned window ≡ DuckDB time_bucket for day-dividing
+    widths (both origins are midnight UTC)."""
+    from .streaming.analytics import windowed_event_counts
+
+    out = windowed_event_counts(
+        _events(spark, sf_dir), window_duration=f"{WINDOW_HOURS} hours"
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        _e5("total_value", "total_value_5dp"),
+    )
+
+
 SESSION_GAP_MIN = 240  # driver events are hours apart per user; a gap this
 # size yields real multi-event sessions (≈30% grouping at sf0.01), so the
 # oracle exercises the cumulative-sum assignment, not just the lag flag
@@ -169,11 +191,23 @@ ORDER BY event_type
 """
 
 
+ORACLES["windowed_event_counts"] = f"""
+SELECT CAST(floor(epoch(time_bucket(INTERVAL {WINDOW_HOURS} HOURS, ts))) AS BIGINT)
+         AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 100000) AS BIGINT) AS total_value_5dp
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def registry():
     return {
         "feedback_event_stats": q_feedback_event_stats,
         "feedback_top_clicked": q_feedback_top_clicked,
         "feedback_user_ctr": q_feedback_user_ctr,
         "event_value_quantiles": q_event_value_quantiles,
+        "windowed_event_counts": q_windowed_event_counts,
         "session_stats": q_session_stats,
     }

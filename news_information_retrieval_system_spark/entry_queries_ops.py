@@ -125,6 +125,26 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: exact Jaccard pairs → connected components →
+    (doc_id, component=min reachable id). The DuckDB oracle recomputes
+    the transitive closure with a recursive CTE over the same pairs."""
+    from .ops.dedup import dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _derived_dup_docs(spark, sf_dir), k=2, threshold=JACCARD_THRESHOLD
+    )
+    labels = dup_components(pairs)
+    out = labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    rows = out.collect()  # materialize before releasing the cached labels
+    labels.unpersist()
+    pairs.unpersist()
+    return spark.createDataFrame(rows, "doc_id long, component long")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH with rows-per-band = 1 (32 hashes / 32 bands): a pair
     with true Jaccard j is missed w.p. (1-j)^32 ≤ 2.3e-10 at the 0.5
@@ -399,6 +419,34 @@ FROM feat
 # rows=1 banding makes the LSH output provably equal to the exact set
 ORACLES["minhash_pairs"] = ORACLES["jaccard_pairs"]
 
+# transitive closure over the verified pair set: WITH RECURSIVE reuses the
+# derived-corpus CTE chain, symmetrizes the edges, and takes min reachable id
+ORACLES["dup_groups"] = (
+    "WITH RECURSIVE "
+    + _DERIVED.strip().removeprefix("WITH")
+    + f""",
+tp AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM tp
+  UNION ALL
+  SELECT doc_b, doc_a FROM tp
+),
+verts AS (SELECT DISTINCT s AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+)
+
 ORACLES["simhash_pairs"] = f"""
 SELECT cast(doc_id AS BIGINT) AS doc_a,
        cast(doc_id + 100000 AS BIGINT) AS doc_b
@@ -490,6 +538,7 @@ def registry() -> dict:
         "fuzzy_terms": q_fuzzy_terms,
         "content_hashes": q_content_hashes,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_groups": q_dup_groups,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,

@@ -313,3 +313,85 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return _eager_release(out, sh)
+
+
+def dup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pair list → connected components: (doc_id, component),
+    component = min doc_id reachable through dup edges.
+
+    The dedup ENDGAME: pair detection (Jaccard/MinHash/SimHash/embedding)
+    leaves transitive chains A~B~C that pairwise dropping mishandles;
+    resolving components picks one canonical doc (the min id) per group.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds (dup groups are near-cliques, so
+    2-3 in practice), checked per round with an early-stop count. Each
+    round is one broadcast-free join + groupBy on the EDGE table — the
+    standard large-graph CC shape (label table ~ |V|, edge scan ~ |E|
+    per round, no driver-side graph). Raises if max_iter rounds don't
+    converge rather than returning a partial labeling. Like the other
+    ops here, the returned labels DataFrame is persisted — the one
+    caller-owned handle; ``.unpersist()`` it when done.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("src"),
+                        F.col("component").alias("src_comp"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("src_comp").alias("nbr_comp"))
+            )
+            # localCheckpoint (eager), NOT persist: it CUTS lineage, so
+            # round N's plan doesn't embed rounds 1..N-1 — without it the
+            # logical plan doubles per round and Catalyst analysis time
+            # explodes exponentially (classic iterative-Spark pitfall)
+            new_labels = (
+                labels.join(prop, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_comp", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        edges.unpersist()

@@ -132,3 +132,29 @@ def test_simhash_planted_precision_and_completeness(spark):
     }
     want = {(i, i + 100000) for i, _ in base if i % 10 == 0}
     assert got == want
+
+
+def test_dup_components_transitive_chain(spark):
+    from news_information_retrieval_system_spark.ops.dedup import dup_components
+
+    # chain 1~2~3 plus isolated pair 10~11: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = dup_components(pairs)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    labels.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_components_path_diameter(spark):
+    from news_information_retrieval_system_spark.ops.dedup import dup_components
+
+    # a 6-node path (diameter 5) exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    labels = dup_components(pairs)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(6)}
