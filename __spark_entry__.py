@@ -29,6 +29,7 @@ from news_information_retrieval_system_spark import entry_queries_r4 as EQR4  # 
 from news_information_retrieval_system_spark import entry_queries_ltr as EQLTR  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_topics as EQTOP  # noqa: E402
 from news_information_retrieval_system_spark import entry_queries_feedback as EQFB  # noqa: E402
+from news_information_retrieval_system_spark import entry_queries_termcluster as EQTC  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQLTR.registry(),
         **EQTOP.registry(),
         **EQFB.registry(),
+        **EQTC.registry(),
     }
 
 
@@ -62,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
         **EQLTR.ORACLES,
         **EQTOP.ORACLES,
         **EQFB.ORACLES,
+        **EQTC.ORACLES,
     }

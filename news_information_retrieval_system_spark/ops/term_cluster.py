@@ -1,0 +1,162 @@
+"""Term clustering: edit-distance and co-occurrence (SURVEY §2 A6).
+
+Reference: src/ir/cluster/term_cluster.py — edit_distance_clustering
+(:334-405, greedy center absorption, order-dependent by its own note),
+cooccurrence_clustering (:411-491, bag-of-words pair counts then the
+same greedy absorption), edit_distance (:79-142, standard Levenshtein).
+
+Spark split: the O(n²·m) part — pairwise distances / pair counts — runs
+distributed (length-bucketed candidate join + JVM ``levenshtein``;
+distinct doc-term self-join for co-occurrence). Clustering then runs on
+the SPARSE edge list two ways:
+
+* ``*_clusters`` — connected components via ``dedup.dup_components``
+  (min-label propagation): order-independent, deterministic, the
+  scalable semantics. CC clusters are exactly the transitive closures
+  of the reference's "within max_distance of the center" relation —
+  the union of greedy clusters that touch.
+* ``greedy_absorb`` — the reference's exact sequential semantics over a
+  deterministic term order, run driver-side on the collected edge list
+  (the edges are sparse; the greedy pass is O(|E|), only the distance
+  matrix was ever expensive). Use when reference-exact cluster
+  boundaries matter more than order-independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+from .dedup import dup_components
+
+
+def term_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, df) over the whitespace vocabulary — document frequency,
+    not collection frequency (distinct per doc before counting)."""
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).distinct()
+    return dt.groupBy("term").agg(F.count("*").cast("long").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+
+
+def edit_distance_pairs(
+    terms: DataFrame, max_distance: int = 2, term_col: str = "term"
+) -> DataFrame:
+    """All term pairs (term_a < term_b) with Levenshtein ≤ max_distance.
+
+    Candidate blocking: |len(a) − len(b)| ≤ max_distance is an exact
+    lower bound on edit distance, so bucketing the join by length loses
+    nothing; at dictionary scale this turns n² into Σ per-length-band
+    products. Distances are JVM ``levenshtein`` (reference
+    edit_distance :79-142 is the same DP).
+    """
+    a = terms.select(F.col(term_col).alias("term_a"), F.length(term_col).alias("la"))
+    b = terms.select(F.col(term_col).alias("term_b"), F.length(term_col).alias("lb"))
+    return (
+        a.join(
+            b,
+            (F.col("term_a") < F.col("term_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_distance),
+        )
+        .withColumn("dist", F.levenshtein("term_a", "term_b"))
+        .filter(F.col("dist") <= max_distance)
+        .select("term_a", "term_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def cooccurrence_pairs(
+    docs: DataFrame,
+    min_cooccurrence: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term_a < term_b, n_co): number of documents where both appear —
+    the reference's bag-of-words co-occurrence counts (:445-460; it
+    counts each unordered in-document pair once per document because it
+    builds per-document term SETS)."""
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).distinct()
+    a = dt.select("doc_id", F.col("term").alias("term_a"))
+    b = dt.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_cooccurrence)
+    )
+
+
+def _component_labels(terms: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(term, cluster): connected components over the pair edges; terms
+    with no edge label themselves (singleton clusters)."""
+    labels = dup_components(pairs, a_col="term_a", b_col="term_b")
+    out = (
+        terms.select("term")
+        .join(
+            labels.select(
+                F.col("doc_id").alias("term"), F.col("component").alias("cluster")
+            ),
+            "term",
+            "left",
+        )
+        .select("term", F.coalesce("cluster", "term").alias("cluster"))
+    )
+    rows = out.collect()  # dictionary-sized; release the CC cache eagerly
+    labels.unpersist()
+    return terms.sparkSession.createDataFrame(rows, "term string, cluster string")
+
+
+def edit_distance_clusters(
+    terms: DataFrame, max_distance: int = 2
+) -> DataFrame:
+    """(term, cluster) — components of the ≤ max_distance graph, cluster
+    labeled by its lexicographically smallest term."""
+    return _component_labels(terms, edit_distance_pairs(terms, max_distance))
+
+
+def cooccurrence_clusters(
+    docs: DataFrame,
+    min_cooccurrence: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, cluster) — components of the ≥ min_cooccurrence graph."""
+    terms = term_vocab(docs, text_col, id_col)
+    pairs = cooccurrence_pairs(docs, min_cooccurrence, text_col, id_col)
+    return _component_labels(terms, pairs)
+
+
+def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
+    """Reference-exact greedy clustering (term_cluster.py:334-405) over a
+    precomputed sparse neighbor map: the first unclustered term becomes a
+    center and absorbs every still-unclustered neighbor. Pure driver-side
+    — O(|E|); feed it ``edit_distance_pairs(...).collect()`` edges.
+
+    ``edges``: {term: set(neighbors within max_distance)}. Returns
+    [(center, [cluster terms...])] in center order.
+    """
+    clustered: set[str] = set()
+    out: list[tuple[str, list[str]]] = []
+    for center in terms_in_order:
+        if center in clustered:
+            continue
+        members = [center]
+        clustered.add(center)
+        for other in terms_in_order:
+            if other not in clustered and other in edges.get(center, ()):
+                members.append(other)
+                clustered.add(other)
+        out.append((center, members))
+    return out

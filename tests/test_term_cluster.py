@@ -1,0 +1,69 @@
+"""Term clustering (ops/term_cluster.py): pair generation, reference
+greedy semantics, and CC labeling consistency."""
+
+from news_information_retrieval_system_spark.ops.term_cluster import (
+    cooccurrence_pairs,
+    edit_distance_clusters,
+    edit_distance_pairs,
+    greedy_absorb,
+    term_vocab,
+)
+
+
+def _terms(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "term string")
+
+
+def test_edit_distance_pairs_blocking_is_exact(spark):
+    words = ["cat", "cats", "dog", "dogs", "catalog"]
+    rows = {
+        (r["term_a"], r["term_b"]): r["dist"]
+        for r in edit_distance_pairs(_terms(spark, words), max_distance=1).collect()
+    }
+    # catalog differs from cat by 4 — excluded by the length block AND dist
+    assert rows == {("cat", "cats"): 1, ("dog", "dogs"): 1}
+
+
+def test_greedy_absorb_reference_example(spark):
+    # reference docstring (term_cluster.py:354-359): cat/cats/dog/dogs at
+    # max_distance=1 -> 2 clusters
+    words = ["cat", "cats", "dog", "dogs"]
+    pairs = edit_distance_pairs(_terms(spark, words), max_distance=1).collect()
+    edges = {}
+    for r in pairs:
+        edges.setdefault(r["term_a"], set()).add(r["term_b"])
+        edges.setdefault(r["term_b"], set()).add(r["term_a"])
+    clusters = greedy_absorb(words, edges)
+    assert len(clusters) == 2
+    assert clusters[0] == ("cat", ["cat", "cats"])
+    assert clusters[1] == ("dog", ["dog", "dogs"])
+
+
+def test_cc_clusters_merge_transitive_chains(spark):
+    # greedy with centers in order would split a-ab-abc differently;
+    # CC merges the whole chain and labels by the min term
+    words = ["ab", "abcd", "abc", "zz"]
+    out = {
+        r["term"]: r["cluster"]
+        for r in edit_distance_clusters(
+            _terms(spark, words), max_distance=1
+        ).collect()
+    }
+    assert out == {"ab": "ab", "abc": "ab", "abcd": "ab", "zz": "zz"}
+
+
+def test_cooccurrence_pairs_counts_docs_not_tokens(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "x y x y"),   # x,y co-occur in this doc ONCE (set semantics)
+            (1, "x y"),
+            (2, "x z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["term_a"], r["term_b"]): r["n_co"]
+        for r in cooccurrence_pairs(docs, min_cooccurrence=1).collect()
+    }
+    assert rows == {("x", "y"): 2, ("x", "z"): 1}
+    assert term_vocab(docs).count() == 3
