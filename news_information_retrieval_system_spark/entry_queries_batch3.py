@@ -436,6 +436,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_EVERY_MS = 250
+
+
+def q_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: one row per sampled timestamp
+    per video (pure JVM sequence+explode; actual frame decode is the
+    stubbed step). Oracle reproduces the synthetic duration formula and
+    unnests the same inclusive 0..duration stride."""
+    from .ops.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n=N_MEDIA, seed=MEDIA_SEED)
+    return frame_sample(media, every_ms=FRAME_EVERY_MS).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+    )
+
+
 # ----------------------------------------------------------------- oracles
 ORACLES: dict[str, str] = {}
 
@@ -848,6 +865,17 @@ FROM feat
 
 ORACLES["media_features"] = _media_oracle()
 
+# synth_media: kind = mid % 3 (2 → video), duration_ms = 1000 + mid % 60000
+ORACLES["frame_offsets"] = f"""
+WITH m AS (SELECT unnest(range(0, {N_MEDIA})) AS mid),
+vids AS (
+  SELECT mid, 1000 + mid % 60000 AS duration_ms FROM m WHERE mid % 3 = 2
+)
+SELECT CAST(mid AS BIGINT) AS media_id,
+       CAST(unnest(range(0, duration_ms + 1, {FRAME_EVERY_MS})) AS BIGINT) AS frame_ms
+FROM vids
+"""
+
 ORACLES["eval_run"] = _eval_run_oracle()
 
 
@@ -872,4 +900,5 @@ def registry() -> dict:
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
+        "frame_offsets": q_frame_offsets,
     }
