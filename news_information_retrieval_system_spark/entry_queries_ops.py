@@ -129,7 +129,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame: exact Jaccard pairs → connected components →
     (doc_id, component=min reachable id). The DuckDB oracle recomputes
     the transitive closure with a recursive CTE over the same pairs."""
-    from .ops.dedup import dup_components, ngram_jaccard_pairs
+    from .ops.dedup import _eager_release, dup_components, ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
         _derived_dup_docs(spark, sf_dir), k=2, threshold=JACCARD_THRESHOLD
@@ -139,10 +139,9 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
-    rows = out.collect()  # materialize before releasing the cached labels
-    labels.unpersist()
-    pairs.unpersist()
-    return spark.createDataFrame(rows, "doc_id long, component long")
+    # stays distributed: materialize the (small) labeling, then release
+    # the CC iteration caches (dedup._eager_release convention)
+    return _eager_release(out, labels, pairs)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,15 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_QRELS_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.StringType()),
-        T.StructField("iteration", T.StringType()),
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("rel", T.DoubleType()),
-    ]
-)
-
 _QUERIES_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.StringType()),
@@ -49,12 +40,21 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
     """TREC qrels file → (query_id, doc_id, rel).
 
     Standard 4-column whitespace format ``qid iter docid rel``; the
-    iteration column is discarded as in every TREC tool. Blank lines are
-    dropped; rel parses as double (graded judgments allowed).
+    iteration column is discarded as in every TREC tool. Real qrels
+    files mix tabs, single and multiple spaces, so lines are split on
+    runs of whitespace (a fixed single-space csv separator silently
+    shifts columns on tab-separated files). Blank lines are dropped;
+    rel parses as double (graded judgments allowed).
     """
-    raw = spark.read.csv(path, sep=" ", schema=_QRELS_SCHEMA)
-    return raw.filter(F.col("query_id").isNotNull()).select(
-        "query_id", "doc_id", F.col("rel").cast("double").alias("rel")
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            parts.getItem(0).alias("query_id"),
+            parts.getItem(2).alias("doc_id"),
+            parts.getItem(3).cast("double").alias("rel"),
+        )
     )
 
 
@@ -92,10 +92,17 @@ def read_demo_qrels(
             )
         for qid, judgments in (spec.get("qrels") or {}).items():
             for j in judgments:
-                key = j.get("article_id", j.get("doc_id"))
+                # explicit JSON nulls must fall through exactly like
+                # absent keys (hand-curated files write both)
+                key = j.get("article_id")
+                if key is None:
+                    key = j.get("doc_id")
                 if key is None:
                     continue
-                rel = float(j.get("relevance", j.get("grade", 1)))
+                rel = j.get("relevance")
+                if rel is None:
+                    rel = j.get("grade")
+                rel = 1.0 if rel is None else float(rel)
                 jrows.append((set_id, str(qid), str(key), rel))
     queries_df = spark.createDataFrame(
         qrows, "query_set string, query_id string, query string, description string"

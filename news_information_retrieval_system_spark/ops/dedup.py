@@ -390,6 +390,7 @@ def dup_components(
             labels = new_labels
             if changed == 0:
                 return labels
+        labels.unpersist()  # error path: don't leak the last round's cache
         raise RuntimeError(
             f"dup_components did not converge in {max_iter} rounds"
         )

@@ -73,6 +73,9 @@ def top_docs(
             F.get_json_object(props_col, json_key).cast("long").alias("doc_key"),
             F.col(value_col).alias("_v"),
         )
+        .filter(F.col("doc_key").isNotNull())  # events without the id prop
+        # carry no doc to rank; dropping them also keeps Spark's
+        # nulls-first ASC from diverging from SQL's NULLS LAST default
         .groupBy("doc_key")
         .agg(
             F.count("*").cast("long").alias("n_events"),

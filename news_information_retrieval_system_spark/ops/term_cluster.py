@@ -54,22 +54,39 @@ def edit_distance_pairs(
     """All term pairs (term_a < term_b) with Levenshtein ≤ max_distance.
 
     Candidate blocking: |len(a) − len(b)| ≤ max_distance is an exact
-    lower bound on edit distance, so bucketing the join by length loses
-    nothing; at dictionary scale this turns n² into Σ per-length-band
-    products. Distances are JVM ``levenshtein`` (reference
+    lower bound on edit distance, and it is realized as an EQUI-join —
+    side A explodes each term to the length band [len, len+d] and joins
+    on B's exact length, so every |Δlen| ≤ d pair meets on exactly one
+    bucket key and Catalyst runs a hash join over Σ per-length-band
+    products instead of a nested-loop n² (a bare inequality join
+    condition would). Distances are JVM ``levenshtein`` (reference
     edit_distance :79-142 is the same DP).
     """
-    a = terms.select(F.col(term_col).alias("term_a"), F.length(term_col).alias("la"))
-    b = terms.select(F.col(term_col).alias("term_b"), F.length(term_col).alias("lb"))
+    a = terms.select(
+        F.col(term_col).alias("t_a"),
+        F.length(term_col).alias("la"),
+        F.explode(
+            F.sequence(
+                F.length(term_col), F.length(term_col) + max_distance
+            )
+        ).alias("lb"),
+    )
+    b = terms.select(F.col(term_col).alias("t_b"), F.length(term_col).alias("lb"))
+    # each unordered pair meets exactly once: the SHORTER term explodes up
+    # into the longer's bucket (la < lb), equal lengths dedup by string
     return (
-        a.join(
-            b,
-            (F.col("term_a") < F.col("term_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= max_distance),
+        a.join(b, "lb")
+        .filter(
+            (F.col("la") < F.col("lb"))
+            | ((F.col("la") == F.col("lb")) & (F.col("t_a") < F.col("t_b")))
         )
-        .withColumn("dist", F.levenshtein("term_a", "term_b"))
+        .withColumn("dist", F.levenshtein("t_a", "t_b"))
         .filter(F.col("dist") <= max_distance)
-        .select("term_a", "term_b", F.col("dist").cast("long").alias("dist"))
+        .select(
+            F.least("t_a", "t_b").alias("term_a"),
+            F.greatest("t_a", "t_b").alias("term_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
     )
 
 
@@ -100,7 +117,13 @@ def cooccurrence_pairs(
 
 def _component_labels(terms: DataFrame, pairs: DataFrame) -> DataFrame:
     """(term, cluster): connected components over the pair edges; terms
-    with no edge label themselves (singleton clusters)."""
+    with no edge label themselves (singleton clusters). Stays
+    distributed — the full-vocabulary labeling can be tens of millions
+    of rows; the result is materialized persisted (the one caller-owned
+    handle, per the dedup module's _eager_release convention) so the CC
+    iteration cache can be released immediately."""
+    from .dedup import _eager_release
+
     labels = dup_components(pairs, a_col="term_a", b_col="term_b")
     out = (
         terms.select("term")
@@ -113,9 +136,7 @@ def _component_labels(terms: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .select("term", F.coalesce("cluster", "term").alias("cluster"))
     )
-    rows = out.collect()  # dictionary-sized; release the CC cache eagerly
-    labels.unpersist()
-    return terms.sparkSession.createDataFrame(rows, "term string, cluster string")
+    return _eager_release(out, labels)
 
 
 def edit_distance_clusters(
@@ -145,8 +166,13 @@ def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, lis
     — O(|E|); feed it ``edit_distance_pairs(...).collect()`` edges.
 
     ``edges``: {term: set(neighbors within max_distance)}. Returns
-    [(center, [cluster terms...])] in center order.
+    [(center, [cluster terms...])] in center order; members are absorbed
+    in ``terms_in_order`` order, exactly like the reference's inner scan,
+    but by walking only the center's neighbor set — O(|E| log) overall
+    instead of O(|V|²) (a mostly-singleton vocabulary would otherwise
+    rescan every term per center).
     """
+    rank = {t: i for i, t in enumerate(terms_in_order)}
     clustered: set[str] = set()
     out: list[tuple[str, list[str]]] = []
     for center in terms_in_order:
@@ -154,8 +180,8 @@ def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, lis
             continue
         members = [center]
         clustered.add(center)
-        for other in terms_in_order:
-            if other not in clustered and other in edges.get(center, ()):
+        for other in sorted(edges.get(center, ()), key=rank.__getitem__):
+            if other not in clustered:
                 members.append(other)
                 clustered.add(other)
         out.append((center, members))

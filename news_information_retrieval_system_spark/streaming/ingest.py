@@ -77,12 +77,19 @@ def stream_index(
             tokenizer_mode=tokenizer_mode,
             stopwords=stopwords,
         )
-        seg = build_blocked_postings(
-            idx.postings, span_bits=span_bits, term_dict=idx.term_stats
-        )
-        seg.write.mode("overwrite").parquet(
-            f"{out_dir}/segments/batch_id={batch_id}"
-        )
+        # the segment encode consumes postings twice (blocks + the
+        # term_stats join derives from the same lineage); cache the one
+        # scan→tokenize pass instead of re-running it per consumer
+        p = idx.postings.persist()
+        try:
+            seg = build_blocked_postings(
+                p, span_bits=span_bits, term_dict=idx.term_stats
+            )
+            seg.write.mode("overwrite").parquet(
+                f"{out_dir}/segments/batch_id={batch_id}"
+            )
+        finally:
+            p.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)

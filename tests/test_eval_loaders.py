@@ -8,10 +8,12 @@ from news_information_retrieval_system_spark.eval.loaders import (
     read_queries,
 )
 
-QRELS_TXT = """Q001 0 202511120135 0
-Q001 0 202511120256 2
-Q002 0 202511120267 1
-"""
+QRELS_TXT = (
+    "Q001 0 202511120135 0\n"
+    "Q001\t0\t202511120256\t2\n"  # tab-separated variant
+    "Q002  0   202511120267  1\n"  # runs of spaces
+    "\n"  # blank line dropped
+)
 
 QUERIES_TSV = "Q001\tstorm damage\nQ002\tflood rescue\n"
 
@@ -30,6 +32,8 @@ DEMO = {
                     {"doc_id": "b_2", "grade": 2},
                     {"note": "no identifier — skipped"},
                     {"article_id": "c_3"},
+                    # explicit JSON nulls behave exactly like absent keys
+                    {"article_id": None, "doc_id": "d_4", "relevance": None},
                 ]
             },
         }
@@ -74,4 +78,5 @@ def test_read_demo_qrels(spark, tmp_path):
         ("N001", "a_1"): 3.0,
         ("N001", "b_2"): 2.0,
         ("N001", "c_3"): 1.0,
+        ("N001", "d_4"): 1.0,
     }
