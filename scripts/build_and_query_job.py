@@ -38,7 +38,12 @@ def main() -> None:
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--k1", type=float, default=1.2)
     ap.add_argument("--b", type=float, default=0.75)
-    ap.add_argument("--id-method", default="dense", choices=["dense", "hash", "none"])
+    ap.add_argument(
+        "--id-method",
+        default="auto",
+        choices=["auto", "dense", "hash", "none"],
+        help="auto = keep an existing doc_id column, else dense-assign",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("nirs-build-and-query").getOrCreate()
@@ -52,8 +57,11 @@ def main() -> None:
     from news_information_retrieval_system_spark.query.wand import wand_topk
 
     docs = spark.read.parquet(args.input)
-    if args.id_method != "none":
-        docs = with_doc_ids(docs, args.id_method)
+    method = args.id_method
+    if method == "auto":
+        method = "none" if "doc_id" in docs.columns else "dense"
+    if method != "none":
+        docs = with_doc_ids(docs, method)
     docs = docs.select("doc_id", "text")
 
     t0 = time.time()
