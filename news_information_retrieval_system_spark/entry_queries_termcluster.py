@@ -66,6 +66,26 @@ SELECT node AS term, min(r) AS cluster FROM reach GROUP BY node
 """
 
 
+STAR_T = 0.5  # normalized-edit similarity floor; at sf0.01 yields 5 pairs
+# incl. a 4-term star around 'part', so potentials/absorption are exercised
+
+
+def q_star_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star clustering's similarity graph (normalized-edit ≥ threshold);
+    the sequential star absorption itself is driver-side (reference
+    :193-294) and pinned by pytest — the distributed, expensive stage is
+    what this entry hash-verifies."""
+    from .ops.term_cluster import star_similarity_pairs, term_vocab
+
+    terms = term_vocab(_docs(spark, sf_dir))
+    out = star_similarity_pairs(terms, threshold=STAR_T)
+    return out.select(
+        "term_a",
+        "term_b",
+        F.round(F.col("sim") * 100000).cast("long").alias("sim_5dp"),
+    )
+
+
 def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.term_cluster import edit_distance_pairs, term_vocab
 
@@ -94,6 +114,17 @@ def q_term_clusters_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {}
 
+ORACLES["star_pairs"] = f"""
+WITH {_TOKS}
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(round((1 - levenshtein(a.term, b.term) * 1.0
+                       / greatest(len(a.term), len(b.term))) * 100000) AS BIGINT)
+         AS sim_5dp
+FROM vocab a JOIN vocab b ON a.term < b.term
+WHERE 1 - levenshtein(a.term, b.term) * 1.0
+          / greatest(len(a.term), len(b.term)) >= {STAR_T}
+"""
+
 ORACLES["editdist_pairs"] = f"""
 WITH {_TOKS}, {_EDIT_EDGES}
 SELECT term_a, term_b, CAST(dist AS BIGINT) AS dist FROM tp
@@ -115,6 +146,7 @@ WITH RECURSIVE {_TOKS}, {_COOC_EDGES}, {_CLOSURE}
 
 def registry():
     return {
+        "star_pairs": q_star_pairs,
         "editdist_pairs": q_editdist_pairs,
         "term_clusters_editdist": q_term_clusters_editdist,
         "cooc_pairs": q_cooc_pairs,

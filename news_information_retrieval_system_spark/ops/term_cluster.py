@@ -159,6 +159,79 @@ def cooccurrence_clusters(
     return _component_labels(terms, pairs)
 
 
+def star_similarity_pairs(
+    terms: DataFrame, threshold: float = 0.7, term_col: str = "term"
+) -> DataFrame:
+    """All pairs with normalized-edit similarity ≥ threshold →
+    (term_a < term_b, sim), sim = 1 − levenshtein/max(len) (reference
+    normalized_edit_distance :144-161 inverted, star_clustering's
+    'edit_distance' metric :296-328).
+
+    Blocking: sim ≥ t forces lev ≤ (1−t)·max_len, and with Δlen ≤ lev
+    the longer length is ≤ len/t — so the shorter side explodes into
+    the bucket band [len .. ⌊len/t⌋] and the join stays an equi-join
+    with bounded fan-out (≈ len·(1/t − 1) buckets per term).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    a = terms.select(
+        F.col(term_col).alias("t_a"),
+        F.length(term_col).alias("la"),
+        F.explode(
+            F.sequence(
+                F.length(term_col),
+                F.floor(F.length(term_col) / F.lit(threshold)).cast("int"),
+            )
+        ).alias("lb"),
+    )
+    b = terms.select(F.col(term_col).alias("t_b"), F.length(term_col).alias("lb"))
+    sim = 1.0 - F.levenshtein("t_a", "t_b") / F.greatest(F.col("la"), F.col("lb"))
+    return (
+        a.join(b, "lb")
+        .filter(
+            (F.col("la") < F.col("lb"))
+            | ((F.col("la") == F.col("lb")) & (F.col("t_a") < F.col("t_b")))
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.least("t_a", "t_b").alias("term_a"),
+            F.greatest("t_a", "t_b").alias("term_b"),
+            "sim",
+        )
+    )
+
+
+def star_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
+    """Reference-exact star clustering (term_cluster.py:193-294) over a
+    precomputed sparse neighbor map: potentials are computed ONCE up
+    front (self counts — similarities[(t,t)] = 1 passes any threshold),
+    each round the unclustered term with the highest potential (earliest
+    in ``terms_in_order`` on ties, matching the reference's
+    strictly-greater scan) becomes a center and absorbs its unclustered
+    neighbors in term order. Driver-side O(|V| log |V| + |E|); feed it
+    ``star_similarity_pairs(...).collect()`` edges.
+    """
+    rank = {t: i for i, t in enumerate(terms_in_order)}
+    potential = {t: 1 + len(edges.get(t, ())) for t in terms_in_order}
+    # centers in (potential desc, input order asc) — a static order, since
+    # the reference never recomputes potentials as terms get clustered
+    by_potential = sorted(terms_in_order, key=lambda t: (-potential[t], rank[t]))
+    clustered: set[str] = set()
+    out: list[tuple[str, list[str]]] = []
+    for center in by_potential:
+        if center in clustered:
+            continue
+        members = [center]
+        clustered.add(center)
+        for other in sorted(edges.get(center, ()), key=rank.__getitem__):
+            if other not in clustered:
+                members.append(other)
+                clustered.add(other)
+        out.append((center, members))
+    return out
+
+
 def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
     """Reference-exact greedy clustering (term_cluster.py:334-405) over a
     precomputed sparse neighbor map: the first unclustered term becomes a

@@ -67,3 +67,31 @@ def test_cooccurrence_pairs_counts_docs_not_tokens(spark):
     }
     assert rows == {("x", "y"): 2, ("x", "z"): 1}
     assert term_vocab(docs).count() == 3
+
+
+def test_star_clustering_reference_example(spark):
+    from news_information_retrieval_system_spark.ops.term_cluster import (
+        star_absorb,
+        star_similarity_pairs,
+    )
+
+    # reference docstring (term_cluster.py:221-225): these five at
+    # threshold 0.7 -> 2 clusters
+    words = ["color", "colour", "colored", "paint", "painted"]
+    pairs = star_similarity_pairs(_terms(spark, words), threshold=0.7).collect()
+    got = {(r["term_a"], r["term_b"]): round(r["sim"], 4) for r in pairs}
+    # color~colour 1-1/6, color~colored 1-2/7, paint~painted 1-2/7
+    assert got == {
+        ("color", "colour"): round(1 - 1 / 6, 4),
+        ("color", "colored"): round(1 - 2 / 7, 4),
+        ("paint", "painted"): round(1 - 2 / 7, 4),
+    }
+    edges = {}
+    for (ta, tb) in got:
+        edges.setdefault(ta, set()).add(tb)
+        edges.setdefault(tb, set()).add(ta)
+    clusters = star_absorb(words, edges)
+    assert len(clusters) == 2
+    # 'color' has the highest potential (self + 2 neighbors)
+    assert clusters[0] == ("color", ["color", "colour", "colored"])
+    assert clusters[1] == ("paint", ["paint", "painted"])
