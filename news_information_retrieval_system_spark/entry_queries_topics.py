@@ -32,8 +32,29 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("topic", "rank")
 
 
-ORACLES: dict[str, str] = {}  # iterative EM — rows-only by design
+HAC_N, HAC_K, HAC_LINKAGE = 40, 8, "average"
+
+
+def q_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 hierarchical doc clustering (HAC, doc_cluster.py:252-374) over
+    a bounded embedding subset: distributed pairwise cosine, driver-side
+    reference-exact merge loop. Sequential agglomeration is not
+    SQL-expressible → rows-only; tests/test_hierarchical.py pins the
+    linkage semantics on hand-computed geometry."""
+    from .ops.cluster import hierarchical_doc_clusters
+
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < HAC_N)
+        .select("vec_id", "embedding")
+    )
+    return hierarchical_doc_clusters(
+        vecs, k=HAC_K, linkage=HAC_LINKAGE
+    ).orderBy("doc_id")
+
+
+ORACLES: dict[str, str] = {}  # iterative EM / sequential HAC — rows-only
 
 
 def registry():
-    return {"lda_topics": q_lda_topics}
+    return {"lda_topics": q_lda_topics, "hier_clusters": q_hier_clusters}

@@ -112,3 +112,117 @@ def kmeans_assign(
     # source once when consumed — no persisted handle leaks to the caller
     v.unpersist()
     return out
+
+
+# ------------------------------------------------------ hierarchical (HAC)
+def pairwise_cosine(
+    vectors, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """All-pairs cosine (id_a < id_b, sim) — the distributed O(n²·dim)
+    stage of HAC (reference _compute_pairwise_similarities,
+    doc_cluster.py:390-405). JVM zip_with/aggregate, no Python."""
+    from pyspark.sql import functions as F
+
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+
+
+def hierarchical_doc_clusters(
+    vectors,
+    k: int,
+    linkage: str = "complete",
+    max_docs: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """HAC over the embedding column → (doc_id, cluster).
+
+    Reference semantics (doc_cluster.py:252-374) reproduced exactly:
+    merge the most-similar cluster pair (single=max / complete=min /
+    average=mean of cross-pair doc similarities) until k remain;
+    strictly-greater comparison over clusters in creation order gives
+    the reference's deterministic tie-break; final cluster ids are
+    assigned in cluster-creation order, exactly like its
+    enumerate-over-insertion-order relabeling.
+
+    Split: the O(n²·dim) similarity matrix is computed DISTRIBUTED
+    (pairwise_cosine); the O(n³) merge loop is driver-side over the
+    collected matrix, as in the reference — HAC is a bounded-corpus
+    algorithm (``max_docs`` guards against feeding it a 100 TB table;
+    at that scale use kmeans_assign).
+    """
+    n = vectors.count()
+    if n > max_docs:
+        raise ValueError(
+            f"HAC is O(n^3): {n} docs > max_docs={max_docs}; "
+            "sample/filter first or use kmeans_assign"
+        )
+    sims = {}
+    ids = sorted(r[0] for r in vectors.select(id_col).collect())
+    for r in pairwise_cosine(vectors, id_col, vec_col).collect():
+        sims[(r["id_a"], r["id_b"])] = r["sim"]
+        sims[(r["id_b"], r["id_a"])] = r["sim"]
+
+    if k >= n:
+        assign = [(int(d), i) for i, d in enumerate(ids)]
+    else:
+        clusters: dict[int, set] = {i: {d} for i, d in enumerate(ids)}
+        next_id = n
+        while len(clusters) > k:
+            best_pair, best_sim = None, -float("inf")
+            keys = list(clusters.keys())
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    cross = [
+                        sims[(d1, d2)]
+                        for d1 in clusters[keys[i]]
+                        for d2 in clusters[keys[j]]
+                        if (d1, d2) in sims
+                    ]
+                    if not cross:
+                        s = 0.0
+                    elif linkage == "single":
+                        s = max(cross)
+                    elif linkage == "complete":
+                        s = min(cross)
+                    elif linkage == "average":
+                        s = sum(cross) / len(cross)
+                    else:
+                        raise ValueError(f"unknown linkage: {linkage}")
+                    if s > best_sim:
+                        best_sim, best_pair = s, (keys[i], keys[j])
+            c1, c2 = best_pair
+            clusters[next_id] = clusters.pop(c1) | clusters.pop(c2)
+            next_id += 1
+        assign = [
+            (int(d), cid)
+            for cid, doc_set in enumerate(clusters.values())
+            for d in sorted(doc_set)
+        ]
+    return vectors.sparkSession.createDataFrame(
+        assign, "doc_id long, cluster long"
+    )

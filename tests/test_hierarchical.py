@@ -1,0 +1,54 @@
+"""HAC (ops/cluster.py hierarchical_doc_clusters) — hand-computed goldens
+for all three linkages over a 4-point geometry."""
+
+import math
+
+import pytest
+
+from news_information_retrieval_system_spark.ops.cluster import (
+    hierarchical_doc_clusters,
+    pairwise_cosine,
+)
+
+# four unit-ish 2-d vectors: two tight pairs at right angles
+VECS = [
+    (0, [1.0, 0.0]),
+    (1, [0.98, 0.2]),   # close to 0
+    (2, [0.0, 1.0]),
+    (3, [0.2, 0.98]),   # close to 2
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_pairwise_cosine_values(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in pairwise_cosine(_df(spark)).collect()
+    }
+    assert len(got) == 6
+    n = math.sqrt(0.98**2 + 0.2**2)
+    assert abs(got[(0, 1)] - 0.98 / n) < 1e-12
+    assert abs(got[(0, 2)] - 0.0) < 1e-12
+
+
+@pytest.mark.parametrize("linkage", ["single", "complete", "average"])
+def test_hac_two_clusters(spark, linkage):
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in hierarchical_doc_clusters(_df(spark), k=2, linkage=linkage).collect()
+    }
+    # the two tight pairs merge first under every linkage
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+
+
+def test_hac_k_geq_n_is_identity(spark):
+    out = hierarchical_doc_clusters(_df(spark), k=10).collect()
+    assert len({r["cluster"] for r in out}) == 4
+
+
+def test_hac_max_docs_guard(spark):
+    with pytest.raises(ValueError, match="O\\(n\\^3\\)"):
+        hierarchical_doc_clusters(_df(spark), k=2, max_docs=2)
