@@ -120,35 +120,34 @@ def pairwise_cosine(
 ):
     """All-pairs cosine (id_a < id_b, sim) — the distributed O(n²·dim)
     stage of HAC (reference _compute_pairwise_similarities,
-    doc_cluster.py:390-405). JVM zip_with/aggregate, no Python."""
-    from pyspark.sql import functions as F
-
+    doc_cluster.py:390-405). JVM zip_with/aggregate, no Python.
+    Zero-norm (or empty) embeddings get similarity 0.0 to every vector
+    rather than a divide-by-zero (ANSI mode) or a NULL that would poison
+    the merge loop."""
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
-    )
+    ).withColumn("norm", _norm(F.col("v")))
     a = base.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
     b = base.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    denom = F.col("na") * F.col("nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (dot / (F.col("na") * F.col("nb"))).alias("sim"),
+            F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("sim"),
         )
     )
+
+
+_LINKAGES = ("single", "complete", "average")
 
 
 def hierarchical_doc_clusters(
@@ -161,68 +160,103 @@ def hierarchical_doc_clusters(
 ):
     """HAC over the embedding column → (doc_id, cluster).
 
-    Reference semantics (doc_cluster.py:252-374) reproduced exactly:
-    merge the most-similar cluster pair (single=max / complete=min /
-    average=mean of cross-pair doc similarities) until k remain;
-    strictly-greater comparison over clusters in creation order gives
-    the reference's deterministic tie-break; final cluster ids are
-    assigned in cluster-creation order, exactly like its
-    enumerate-over-insertion-order relabeling.
+    Reference semantics (doc_cluster.py:252-374): merge the most-similar
+    cluster pair (single=max / complete=min / average=mean of cross-pair
+    doc similarities) until k remain; strictly-greater comparison over
+    cluster pairs in creation order gives the reference's deterministic
+    tie-break; final cluster ids are assigned in cluster-creation order,
+    exactly like its enumerate-over-insertion-order relabeling.
 
     Split: the O(n²·dim) similarity matrix is computed DISTRIBUTED
-    (pairwise_cosine); the O(n³) merge loop is driver-side over the
-    collected matrix, as in the reference — HAC is a bounded-corpus
-    algorithm (``max_docs`` guards against feeding it a 100 TB table;
-    at that scale use kmeans_assign).
+    (pairwise_cosine); the merge loop is driver-side, as in the
+    reference, but tracks per-cluster-pair (sum, count, min, max) stats
+    and combines them on merge — each round costs O(c²) dict work
+    instead of re-enumerating every cross doc-pair (the reference's
+    O(n²) per round), with identical linkage values (min/max exactly;
+    the average's sum associates differently, same multiset). HAC is a
+    bounded-corpus algorithm — ``max_docs`` guards against feeding it a
+    100 TB table; at that scale use kmeans_assign.
     """
-    n = vectors.count()
-    if n > max_docs:
-        raise ValueError(
-            f"HAC is O(n^3): {n} docs > max_docs={max_docs}; "
-            "sample/filter first or use kmeans_assign"
-        )
-    sims = {}
-    ids = sorted(r[0] for r in vectors.select(id_col).collect())
-    for r in pairwise_cosine(vectors, id_col, vec_col).collect():
-        sims[(r["id_a"], r["id_b"])] = r["sim"]
-        sims[(r["id_b"], r["id_a"])] = r["sim"]
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if linkage not in _LINKAGES:
+        raise ValueError(f"unknown linkage: {linkage!r} (choose {_LINKAGES})")
+    vectors = vectors.persist()  # three jobs below read the same plan
+    try:
+        ids = sorted(r[0] for r in vectors.select(id_col).collect())
+        n = len(ids)
+        if n > max_docs:
+            raise ValueError(
+                f"HAC is O(n^3): {n} docs > max_docs={max_docs}; "
+                "sample/filter first or use kmeans_assign"
+            )
+        doc_pairs = pairwise_cosine(vectors, id_col, vec_col).collect()
+    finally:
+        vectors.unpersist()
 
+    spark = vectors.sparkSession
     if k >= n:
-        assign = [(int(d), i) for i, d in enumerate(ids)]
-    else:
-        clusters: dict[int, set] = {i: {d} for i, d in enumerate(ids)}
-        next_id = n
-        while len(clusters) > k:
-            best_pair, best_sim = None, -float("inf")
-            keys = list(clusters.keys())
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
-                    cross = [
-                        sims[(d1, d2)]
-                        for d1 in clusters[keys[i]]
-                        for d2 in clusters[keys[j]]
-                        if (d1, d2) in sims
+        return spark.createDataFrame(
+            [(int(d), i) for i, d in enumerate(ids)], "doc_id long, cluster long"
+        )
+
+    cid_of = {d: i for i, d in enumerate(ids)}
+    # per-cluster-pair stats over cross doc sims: (sum, count, min, max)
+    stats: dict[tuple[int, int], list] = {}
+    for r in doc_pairs:
+        key = (cid_of[r["id_a"]], cid_of[r["id_b"]])
+        s = r["sim"]
+        stats[(min(key), max(key))] = [s, 1, s, s]
+
+    clusters: dict[int, set] = {i: {d} for i, d in enumerate(ids)}
+    next_id = n
+
+    def score(st):
+        if st is None:
+            return 0.0  # reference: no cross sims recorded → 0.0
+        if linkage == "single":
+            return st[3]
+        if linkage == "complete":
+            return st[2]
+        return st[0] / st[1]
+
+    while len(clusters) > k:
+        best_pair, best_sim = None, -float("inf")
+        keys = list(clusters.keys())  # creation order (dict insertion)
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                kk = (min(keys[i], keys[j]), max(keys[i], keys[j]))
+                s = score(stats.get(kk))
+                if s > best_sim:
+                    best_sim, best_pair = s, (keys[i], keys[j])
+        c1, c2 = best_pair
+        merged = clusters.pop(c1) | clusters.pop(c2)
+        # combine the merged pair's stats against every surviving cluster
+        for other in clusters:
+            combined = None
+            for old in (c1, c2):
+                kk = (min(old, other), max(old, other))
+                st = stats.pop(kk, None)
+                if st is None:
+                    continue
+                if combined is None:
+                    combined = list(st)
+                else:
+                    combined = [
+                        combined[0] + st[0],
+                        combined[1] + st[1],
+                        min(combined[2], st[2]),
+                        max(combined[3], st[3]),
                     ]
-                    if not cross:
-                        s = 0.0
-                    elif linkage == "single":
-                        s = max(cross)
-                    elif linkage == "complete":
-                        s = min(cross)
-                    elif linkage == "average":
-                        s = sum(cross) / len(cross)
-                    else:
-                        raise ValueError(f"unknown linkage: {linkage}")
-                    if s > best_sim:
-                        best_sim, best_pair = s, (keys[i], keys[j])
-            c1, c2 = best_pair
-            clusters[next_id] = clusters.pop(c1) | clusters.pop(c2)
-            next_id += 1
-        assign = [
-            (int(d), cid)
-            for cid, doc_set in enumerate(clusters.values())
-            for d in sorted(doc_set)
-        ]
-    return vectors.sparkSession.createDataFrame(
-        assign, "doc_id long, cluster long"
-    )
+            if combined is not None:
+                stats[(min(next_id, other), max(next_id, other))] = combined
+        stats.pop((min(c1, c2), max(c1, c2)), None)
+        clusters[next_id] = merged
+        next_id += 1
+
+    assign = [
+        (int(d), cid)
+        for cid, doc_set in enumerate(clusters.values())
+        for d in sorted(doc_set)
+    ]
+    return spark.createDataFrame(assign, "doc_id long, cluster long")

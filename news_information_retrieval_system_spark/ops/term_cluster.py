@@ -217,19 +217,7 @@ def star_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[
     # centers in (potential desc, input order asc) — a static order, since
     # the reference never recomputes potentials as terms get clustered
     by_potential = sorted(terms_in_order, key=lambda t: (-potential[t], rank[t]))
-    clustered: set[str] = set()
-    out: list[tuple[str, list[str]]] = []
-    for center in by_potential:
-        if center in clustered:
-            continue
-        members = [center]
-        clustered.add(center)
-        for other in sorted(edges.get(center, ()), key=rank.__getitem__):
-            if other not in clustered:
-                members.append(other)
-                clustered.add(other)
-        out.append((center, members))
-    return out
+    return _absorb(by_potential, rank, edges)
 
 
 def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
@@ -246,9 +234,19 @@ def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, lis
     rescan every term per center).
     """
     rank = {t: i for i, t in enumerate(terms_in_order)}
+    return _absorb(terms_in_order, rank, edges)
+
+
+def _absorb(
+    center_order: list[str], rank: dict, edges: dict
+) -> list[tuple[str, list[str]]]:
+    """Shared absorption loop: walk candidate centers in ``center_order``,
+    each unclustered one absorbs its still-unclustered neighbors in
+    ``rank`` (input) order — the only thing greedy vs star vary is the
+    center order."""
     clustered: set[str] = set()
     out: list[tuple[str, list[str]]] = []
-    for center in terms_in_order:
+    for center in center_order:
         if center in clustered:
             continue
         members = [center]

@@ -59,9 +59,22 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     method = args.id_method
     if method == "auto":
-        method = "none" if "doc_id" in docs.columns else "dense"
+        # keep an existing doc_id only when it's an integral column the
+        # doc-range block layout can shift; anything else (string/UUID
+        # ids, or no doc_id at all) gets a dense reassignment
+        integral = ("int", "bigint", "long", "smallint", "tinyint")
+        dtype = dict(docs.dtypes).get("doc_id")
+        method = "none" if dtype in integral else "dense"
     if method != "none":
-        docs = with_doc_ids(docs, method)
+        if "conv_id" in docs.columns:
+            docs = with_doc_ids(docs.drop("doc_id"), method)
+        else:
+            # non-transcript input: stable dense ids ordered by whatever
+            # identifier the rows already carry
+            docs = docs.withColumnRenamed("doc_id", "_orig_id")
+            docs = with_doc_ids(
+                docs, method, conv_col="_orig_id", turn_col="_orig_id"
+            ).drop("_orig_id")
     docs = docs.select("doc_id", "text")
 
     t0 = time.time()

@@ -52,3 +52,27 @@ def test_hac_k_geq_n_is_identity(spark):
 def test_hac_max_docs_guard(spark):
     with pytest.raises(ValueError, match="O\\(n\\^3\\)"):
         hierarchical_doc_clusters(_df(spark), k=2, max_docs=2)
+
+
+def test_hac_rejects_bad_args(spark):
+    with pytest.raises(ValueError, match="k must be positive"):
+        hierarchical_doc_clusters(_df(spark), k=0)
+    with pytest.raises(ValueError, match="unknown linkage"):
+        hierarchical_doc_clusters(_df(spark), k=10, linkage="ward")
+
+
+def test_zero_norm_embedding_is_similarity_zero(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"] for r in pairwise_cosine(vecs).collect()
+    }
+    assert got[(0, 1)] == 0.0 and got[(1, 2)] == 0.0
+    # and HAC still runs: the zero vector ends up alone
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in hierarchical_doc_clusters(vecs, k=2).collect()
+    }
+    assert out[0] == out[2] and out[1] != out[0]
