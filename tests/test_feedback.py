@@ -58,3 +58,15 @@ def test_user_ctr_zero_denominator(spark):
     # top-k ordering: clicks desc then user_id asc
     ordered = user_ctr(_events(spark), k=10).collect()
     assert [r["user_id"] for r in ordered] == [2, 1, 3]
+
+
+def test_value_quantiles_interpolation(spark):
+    from news_information_retrieval_system_spark.ops.feedback import value_quantiles
+
+    rows = [(i, 1, "view", float(v), "{}") for i, v in enumerate([1, 2, 3, 4])]
+    got = value_quantiles(
+        spark.createDataFrame(rows, SCHEMA), probs=(0.5, 0.9)
+    ).collect()[0]
+    # linear interpolation (quantile_cont): p50 of 1..4 = 2.5, p90 = 3.7
+    assert abs(got["p50"] - 2.5) < 1e-12
+    assert abs(got["p90"] - 3.7) < 1e-12
