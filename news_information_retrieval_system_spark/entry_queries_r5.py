@@ -1,0 +1,356 @@
+"""Round-4 driver-contract entries.
+
+* contract_violations / normalized_records — S3 record normalize + data
+  contract (reference data_contract.py:10-128, document_service.py:111-199):
+  the documents table is deterministically degraded into "raw crawler
+  records" (planted missing/short titles and contents, colliding
+  title+url dedup keys, messy tag strings) and both engines run the full
+  validate → dedup-keep-first → normalize pipeline.
+* model_overlap — Q27 comparison payload
+  (retrieval_orchestrator.py:278-314): pairwise top-k overlap between
+  BM25 / TF-IDF / BIM / LM on the shared query set.
+* query_suggestions — no-result fallback suggestions
+  (search_service.py:750-789): fuzzy + prefix neighbors from the term
+  dictionary for out-of-vocabulary query terms.
+* json_docs — S1/S2 JSON reader: documents round-tripped through JSONL
+  and read back with an explicit schema (spark.read.json).
+
+Both sides of every oracle derive the planted degradations from the SAME
+mod-class arithmetic, so the fixtures cannot drift.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import (
+    _SQL_BASE,
+    _SQL_BM25_SCORED,
+    _SQL_TFIDF_SCORED,
+    B,
+    K1,
+    MU,
+    TOPK,
+    _docs,
+    _index,
+    _qterms,
+)
+from .query.bim import score_bim
+from .query.bm25 import score_bm25, topk
+from .query.lm import score_lm
+from .query.vsm import score_tfidf
+
+# ------------------------------------------------------------- S3 fixtures
+TITLE_MOD, CONTENT_MOD, URL_MOD = 13, 11, 37
+SUG_TERMS = ["fastt", "scann", "valu", "windoww", "sparc"]
+SUG_DIST, SUG_PREFIX, SUG_CAP = 2, 4, 5
+
+
+def _raw_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic 'raw crawler records' with planted
+    contract violations: doc_id%13∈{0,1} breaks the title (missing /
+    too short), doc_id%11∈{0,1} breaks the content (missing / truncated
+    under MIN_CONTENT_CHARS), url collapses to doc_id%37 classes so
+    (title, url) dedup keys collide."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    title = (
+        F.when(F.col("doc_id") % TITLE_MOD == 0, F.lit(""))
+        .when(F.col("doc_id") % TITLE_MOD == 1, F.lit("x"))
+        .otherwise(F.concat_ws(" ", F.slice(toks, 1, 2)))
+    )
+    content = (
+        F.when(F.col("doc_id") % CONTENT_MOD == 0, F.lit(""))
+        .when(F.col("doc_id") % CONTENT_MOD == 1, F.substring("text", 1, 10))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        F.col("doc_id").alias("row_id"),
+        title.alias("title"),
+        content.alias("content"),
+        F.concat(F.lit("https://ex.org/"), (F.col("doc_id") % URL_MOD)).alias("url"),
+        F.concat(F.col("source"), F.lit(",misc, ")).alias("tags"),
+    )
+
+
+_SQL_RAW = f"""
+raw AS (
+  SELECT doc_id AS row_id,
+         CASE WHEN doc_id % {TITLE_MOD} = 0 THEN ''
+              WHEN doc_id % {TITLE_MOD} = 1 THEN 'x'
+              ELSE array_to_string(
+                     list_filter(string_split(text, ' '), x -> x <> '')[1:2], ' ')
+         END AS title,
+         CASE WHEN doc_id % {CONTENT_MOD} = 0 THEN ''
+              WHEN doc_id % {CONTENT_MOD} = 1 THEN substr(text, 1, 10)
+              ELSE text END AS content,
+         'https://ex.org/' || cast(doc_id % {URL_MOD} AS VARCHAR) AS url,
+         source || ',misc, ' AS tags
+  FROM documents
+),
+iss AS (
+  SELECT row_id,
+         CASE WHEN trim(title) = '' THEN 1 ELSE 0 END AS m_t,
+         CASE WHEN trim(content) = '' THEN 1 ELSE 0 END AS m_c,
+         CASE WHEN trim(title) <> '' AND length(trim(title)) < 2
+              THEN 1 ELSE 0 END AS t_s,
+         CASE WHEN trim(content) <> '' AND length(trim(content)) < 20
+              THEN 1 ELSE 0 END AS c_s
+  FROM raw
+),
+valid AS (
+  SELECT raw.*,
+         md5(lower(trim(title)) || '||' || lower(trim(url))) AS h
+  FROM raw JOIN iss USING (row_id)
+  WHERE m_t + m_c + t_s + c_s = 0
+),
+dd AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY row_id) AS rn
+       FROM valid)
+"""
+
+
+def q_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.contract import normalize_records
+
+    _, rejected = normalize_records(_raw_records(spark, sf_dir))
+    return rejected.groupBy("issue").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_normalized_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.contract import normalize_records
+
+    out, _ = normalize_records(_raw_records(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("row_id").cast("long").alias("row_id"),
+        "title",
+        F.array_join("tags", "|").alias("tags_joined"),
+        "dedup_hash",
+    )
+
+
+# -------------------------------------------------------- Q27 model overlap
+def q_model_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.compare import model_overlap
+
+    idx = _index(spark, sf_dir)
+    q = _qterms(spark)
+
+    def _r(scored):
+        return topk(scored.withColumn("score", F.round("score", 9)), k=TOPK)
+
+    ranked = {
+        "bm25": _r(score_bm25(idx, q, k1=K1, b=B)),
+        "tfidf": _r(score_tfidf(idx, q)),
+        "bim": _r(score_bim(idx, q)),
+        "lm": _r(score_lm(idx, q, mu=MU)),
+    }
+    return model_overlap(ranked).select(
+        "query_id", "model_a", "model_b", F.col("overlap").cast("long")
+    )
+
+
+# -------------------------------------------------------- query suggestions
+def q_query_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.suggest import query_suggestions
+
+    idx = _index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(SUG_TERMS)],
+        "query_id string, term string",
+    )
+    out = query_suggestions(
+        idx, qt, max_distance=SUG_DIST, prefix_len=SUG_PREFIX, cap=SUG_CAP
+    )
+    return out.select(
+        "query_id",
+        "term",
+        "kind",
+        "suggestion",
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------- S1/S2 JSON read
+def q_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip documents through JSONL and read back with an explicit
+    schema (production discipline: no inference scan). Exercises the
+    JSON source path end-to-end; result must equal the parquet rows."""
+    d = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nirs_json_")
+    d.write.mode("overwrite").json(tmp)
+    return (
+        spark.read.schema(d.schema)
+        .json(tmp)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- oracles
+ORACLES: dict[str, str] = {}
+
+ORACLES["contract_violations"] = f"""
+WITH {_SQL_RAW.strip()},
+rej AS (
+  SELECT row_id, 'MISSING_FIELD:title' AS issue FROM iss WHERE m_t = 1
+  UNION ALL
+  SELECT row_id, 'MISSING_FIELD:content' FROM iss WHERE m_c = 1
+  UNION ALL
+  SELECT row_id, 'TITLE_TOO_SHORT' FROM iss WHERE t_s = 1
+  UNION ALL
+  SELECT row_id, 'CONTENT_TOO_SHORT' FROM iss WHERE c_s = 1
+  UNION ALL
+  SELECT row_id, 'DUPLICATE' FROM dd WHERE rn > 1
+)
+SELECT issue, cast(count(*) AS BIGINT) AS n FROM rej GROUP BY issue
+"""
+
+ORACLES["normalized_records"] = f"""
+WITH {_SQL_RAW.strip()},
+kept AS (SELECT * FROM dd WHERE rn = 1)
+SELECT cast(row_number() OVER (ORDER BY row_id) - 1 AS BIGINT) AS doc_id,
+       cast(row_id AS BIGINT) AS row_id,
+       trim(title) AS title,
+       array_to_string(
+         list_filter(list_transform(string_split(tags, ','), x -> trim(x)),
+                     x -> x <> ''), '|') AS tags_joined,
+       h AS dedup_hash
+FROM kept
+"""
+
+# bim/lm scored CTEs (same formulas the bim_topk / lm_topk oracles pin)
+_SQL_BIM_SCORED = """
+bscored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n_docs - idf.df + 0.5) / (idf.df + 0.5))) AS score
+  FROM (SELECT DISTINCT query_id, term FROM q) q
+  JOIN idf USING (term)
+  JOIN tf USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+"""
+
+_SQL_LM_SCORED = f"""
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT cast(sum(dl) AS DOUBLE) AS total_tokens FROM dl),
+qcf AS (SELECT q.query_id, q.term, q.qtf, cf.cf / tot.total_tokens AS p_c
+        FROM q JOIN cf USING (term) CROSS JOIN tot),
+lcand AS (SELECT DISTINCT qcf.query_id, tf.doc_id
+          FROM qcf JOIN tf USING (term)),
+lscored AS (
+  SELECT lcand.query_id, lcand.doc_id,
+         sum(qcf.qtf * ln((coalesce(tf.tf, 0) + {MU} * qcf.p_c) / (dl.dl + {MU}))) AS score
+  FROM lcand
+  JOIN qcf ON qcf.query_id = lcand.query_id
+  JOIN dl ON dl.doc_id = lcand.doc_id
+  LEFT JOIN tf ON tf.term = qcf.term AND tf.doc_id = lcand.doc_id
+  GROUP BY lcand.query_id, lcand.doc_id
+)
+"""
+
+
+def _rank_cte(name: str, src: str) -> str:
+    return f"""{name} AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS rk
+    FROM {src}) WHERE rk <= {TOPK}
+)"""
+
+
+ORACLES["model_overlap"] = f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+{_SQL_TFIDF_SCORED.lstrip()},
+{_SQL_BIM_SCORED.lstrip()},
+{_SQL_LM_SCORED.lstrip()},
+{_rank_cte("rb", "scored")},
+{_rank_cte("rt", "tscored")},
+{_rank_cte("ri", "bscored")},
+{_rank_cte("rl", "lscored")},
+tagged AS (
+  SELECT query_id, doc_id, 'bm25' AS model FROM rb
+  UNION ALL SELECT query_id, doc_id, 'tfidf' FROM rt
+  UNION ALL SELECT query_id, doc_id, 'bim' FROM ri
+  UNION ALL SELECT query_id, doc_id, 'lm' FROM rl
+),
+pairs AS (
+  SELECT * FROM (VALUES ('bim','bm25'), ('bim','lm'), ('bim','tfidf'),
+                        ('bm25','lm'), ('bm25','tfidf'), ('lm','tfidf'))
+         p(model_a, model_b)
+),
+counts AS (
+  SELECT a.query_id, a.model AS model_a, b.model AS model_b,
+         count(*) AS overlap
+  FROM tagged a JOIN tagged b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.model < b.model
+  GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT q.query_id, p.model_a, p.model_b
+  FROM (SELECT DISTINCT query_id FROM tagged) q CROSS JOIN pairs p
+)
+SELECT g.query_id, g.model_a, g.model_b,
+       cast(coalesce(c.overlap, 0) AS BIGINT) AS overlap
+FROM grid g LEFT JOIN counts c
+  ON c.query_id = g.query_id AND c.model_a = g.model_a AND c.model_b = g.model_b
+"""
+
+_SUG_VALUES = ", ".join(
+    f"('s{i}', '{t}')" for i, t in enumerate(SUG_TERMS)
+)
+ORACLES["query_suggestions"] = f"""{_SQL_BASE},
+sq(query_id, term) AS (VALUES {_SUG_VALUES}),
+missing AS (
+  SELECT sq.* FROM sq LEFT JOIN df v ON v.term = sq.term
+  WHERE v.term IS NULL
+),
+cand AS (
+  SELECT m.query_id, m.term, v.term AS suggestion, cast(v.df AS BIGINT) AS df
+  FROM missing m CROSS JOIN df v
+  WHERE v.term <> m.term
+),
+fz AS (
+  SELECT query_id, term, 'fuzzy' AS kind, suggestion, df,
+         row_number() OVER (PARTITION BY query_id, term
+                            ORDER BY levenshtein(term, suggestion) ASC,
+                                     df DESC, suggestion ASC) AS rank
+  FROM cand WHERE levenshtein(term, suggestion) <= {SUG_DIST}
+),
+pf AS (
+  SELECT query_id, term, 'prefix' AS kind, suggestion, df,
+         row_number() OVER (PARTITION BY query_id, term
+                            ORDER BY df DESC, suggestion ASC) AS rank
+  FROM cand WHERE starts_with(suggestion, substr(term, 1, {SUG_PREFIX}))
+)
+SELECT query_id, term, kind, suggestion, df, cast(rank AS BIGINT) AS rank
+FROM (SELECT * FROM fz WHERE rank <= {SUG_CAP}
+      UNION ALL SELECT * FROM pf WHERE rank <= {SUG_CAP})
+"""
+
+ORACLES["json_docs"] = """
+SELECT cast(doc_id AS BIGINT) AS doc_id, text, lang, source,
+       cast(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def registry() -> dict:
+    return {
+        "contract_violations": q_contract_violations,
+        "normalized_records": q_normalized_records,
+        "model_overlap": q_model_overlap,
+        "query_suggestions": q_query_suggestions,
+        "json_docs": q_json_docs,
+    }

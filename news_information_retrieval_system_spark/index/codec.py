@@ -202,6 +202,17 @@ def delta_encode(vals: np.ndarray) -> tuple[bytes, int]:
     the field is (b << (b-1)) | offset at width γbits(b) + b - 1."""
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     bl = ((gamma_bit_lengths(v) + 1) // 2).astype(np.uint64)  # bit_length
+    # the packed field is one uint64: its width is γbits(bl) + bl - 1,
+    # which exceeds 64 for bit_length ≥ 55 ((bl << (bl-1)) wraps on
+    # uint64 and the stream decodes garbage) — reject instead of wrap.
+    # Doc-id gaps never approach 2^54; this is a safety net, not a limit
+    # a posting stream can hit.
+    if v.size and int(bl.max()) > 54:
+        raise ValueError(
+            "delta_encode: value with bit_length "
+            f"{int(bl.max())} > 54 — its Elias-delta code exceeds the "
+            "64-bit packing field"
+        )
     offset = v - (np.uint64(1) << (bl - np.uint64(1)))
     field = (bl << (bl - np.uint64(1))) | offset
     widths = gamma_bit_lengths(bl) + bl.astype(np.int64) - 1

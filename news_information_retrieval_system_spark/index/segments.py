@@ -429,7 +429,10 @@ def build_resumable(
     manifest_path = out / "staging_manifest.json"
     corpus_sig = docs.select(
         F.count("*").alias("n"),
-        # order-insensitive content signature: XOR-fold of row hashes
+        # order-insensitive content signature: SIGNED SUM of per-row
+        # xxhash64 % 1000000007 (Spark's % keeps the sign of negative
+        # hashes — any independent re-implementation, e.g. a DuckDB
+        # oracle, must reproduce the signed-remainder semantics)
         F.expr(f"cast(sum(xxhash64({id_col}, {text_col}) % 1000000007) as long)").alias("sig"),
     ).first()
     manifest = {

@@ -67,11 +67,16 @@ def kmeans_assign(
     centroids = [list(r["vec"]) for r in init]
 
     def assign(cdf: DataFrame) -> DataFrame:
+        # zero-norm guard (same as pairwise_cosine below): a zero/empty
+        # embedding scores 0.0 against every centroid and lands in the
+        # lowest cluster id deterministically, instead of a NULL cosine
+        # silently falling through to the NULLS-LAST cluster
+        denom = _norm(F.col("vec")) * _norm(F.col("cvec"))
         scored = v.crossJoin(F.broadcast(cdf)).withColumn(
             "cos",
             _round9(
-                _dot(F.col("vec"), F.col("cvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+                F.when(denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom)
+                .otherwise(F.lit(0.0))
             ),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
