@@ -58,6 +58,9 @@ ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_MAX, ROCCHIO_MINW, ROCCHIO_FBK = (
     0.01,
     10,
 )
+# γ negative feedback (reference rocchio.py:100 default 0.15): the bottom
+# NEGK BM25 candidates per query stand in for explicit non-relevant docs
+ROCCHIO_GAMMA, ROCCHIO_NEGK = 0.15, 10
 HYBRID_DEPTH, W_LIN_BM25, W_LIN_TFIDF = 50, 0.65, 0.35
 EXPLAIN_QID = "q1"
 
@@ -242,21 +245,35 @@ def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rocchio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q24: Rocchio PRF expansion terms from top-10 BM25 feedback docs."""
+    """Q24: Rocchio expansion terms — top-10 BM25 docs as relevant (β),
+    bottom-10 scored candidates as non-relevant (γ=0.15 subtraction with
+    the reference's clamp-at-0, rocchio.py:264-275)."""
+    from pyspark.sql import Window as _W
+
     from .query.rocchio import rocchio_expand
 
     idx = _index(spark, sf_dir)
     q = _qterms(spark)
-    fb = topk(
-        score_bm25(idx, q, k1=K1, b=B).withColumn("score", F.round("score", 9)),
-        k=ROCCHIO_FBK,
-    ).select("query_id", "doc_id")
+    scored = score_bm25(idx, q, k1=K1, b=B).withColumn(
+        "score", F.round("score", 9)
+    )
+    fb = topk(scored, k=ROCCHIO_FBK).select("query_id", "doc_id")
+    wneg = _W.partitionBy("query_id").orderBy(
+        F.asc("score"), F.desc("doc_id")
+    )
+    neg = (
+        scored.withColumn("rk", F.row_number().over(wneg))
+        .filter(F.col("rk") <= ROCCHIO_NEGK)
+        .select("query_id", "doc_id")
+    )
     out = rocchio_expand(
         idx,
         q,
         fb,
         alpha=ROCCHIO_ALPHA,
         beta=ROCCHIO_BETA,
+        gamma=ROCCHIO_GAMMA,
+        neg_feedback=neg,
         max_terms=ROCCHIO_MAX,
         min_weight=ROCCHIO_MINW,
         rank_dp=9,
@@ -665,20 +682,35 @@ fb AS (SELECT query_id, doc_id FROM (
                 row_number() OVER (PARTITION BY query_id
                                    ORDER BY round(score, 9) DESC, doc_id ASC) AS rk
          FROM scored) WHERE rk <= {ROCCHIO_FBK}),
+neg AS (SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(score, 9) ASC, doc_id DESC) AS rk
+          FROM scored) WHERE rk <= {ROCCHIO_NEGK}),
 fbn AS (SELECT query_id, count(*) AS n_fb FROM fb GROUP BY query_id),
+negn AS (SELECT query_id, count(*) AS n_fb FROM neg GROUP BY query_id),
 wn AS (SELECT w.doc_id, w.term, w.w / norms.norm AS w_norm
        FROM w JOIN norms USING (doc_id)),
-cent AS (SELECT fb.query_id, wn.term,
+cpos AS (SELECT fb.query_id, wn.term,
                 {ROCCHIO_BETA} * sum(wn.w_norm) / max(fbn.n_fb) AS fb_w
          FROM fb JOIN wn ON wn.doc_id = fb.doc_id
          JOIN fbn ON fbn.query_id = fb.query_id
          GROUP BY fb.query_id, wn.term),
+cneg AS (SELECT neg.query_id, wn.term,
+                -{ROCCHIO_GAMMA} * sum(wn.w_norm) / max(negn.n_fb) AS fb_w
+         FROM neg JOIN wn ON wn.doc_id = neg.doc_id
+         JOIN negn ON negn.query_id = neg.query_id
+         GROUP BY neg.query_id, wn.term),
+cent AS (SELECT query_id, term, sum(fb_w) AS fb_w
+         FROM (SELECT * FROM cpos UNION ALL SELECT * FROM cneg)
+         GROUP BY query_id, term),
 qv AS (SELECT q.query_id, q.term, {ROCCHIO_ALPHA} * q.qtf * idf.idf AS q_w
        FROM q JOIN idf USING (term)),
 mg AS (SELECT coalesce(qv.query_id, cent.query_id) AS query_id,
               coalesce(qv.term, cent.term) AS term,
               coalesce(qv.q_w, 0) AS q_w,
-              round(coalesce(qv.q_w, 0) + coalesce(cent.fb_w, 0), 9) AS weight
+              round(greatest(0.0,
+                    coalesce(qv.q_w, 0) + coalesce(cent.fb_w, 0)), 9) AS weight
        FROM qv FULL JOIN cent
          ON qv.query_id = cent.query_id AND qv.term = cent.term),
 flt AS (SELECT * FROM mg WHERE weight >= {ROCCHIO_MINW}),

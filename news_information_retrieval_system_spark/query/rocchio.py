@@ -1,13 +1,16 @@
-"""Rocchio pseudo-relevance-feedback query expansion.
+"""Rocchio relevance-feedback query expansion.
 
 Reference: α=1.0, β=0.75, γ=0.15, app caps max_terms=8, min_weight=0.01
 (src/ir/ranking/rocchio.py:71-460, src/ir_app/services/index_service.py:390).
-No explicit negative feedback in the PRF path → γ term drops.
+Q_new = α·Q + β·centroid(D_r) − γ·centroid(D_nr), clamped at 0 per term
+(rocchio.py:264-275). The PRF path passes no non-relevant docs (γ term
+drops); explicit feedback supplies ``neg_feedback`` and the γ subtraction
+applies.
 
-Distributed shape: the feedback centroid is an aggregation over the top-k
-docs' TF-IDF vectors — a join + groupBy over postings, never a collect of
-postings. Only the final expanded term list (≤ max_terms rows per query)
-reaches the driver-side query structure.
+Distributed shape: each feedback centroid is an aggregation over the
+feedback docs' TF-IDF vectors — a join + groupBy over postings, never a
+collect of postings. Only the final expanded term list (≤ max_terms rows
+per query) reaches the driver-side query structure.
 """
 
 from __future__ import annotations
@@ -25,15 +28,20 @@ def rocchio_expand(
     feedback: DataFrame,
     alpha: float = 1.0,
     beta: float = 0.75,
+    gamma: float = 0.15,
+    neg_feedback: DataFrame | None = None,
     max_terms: int = 8,
     min_weight: float = 0.01,
     weights: DataFrame | None = None,
     rank_dp: int | None = None,
     max_drift: float | None = None,
 ) -> DataFrame:
-    """qterms(query_id, term, qtf), feedback(query_id, doc_id) = top-k docs.
+    """qterms(query_id, term, qtf), feedback(query_id, doc_id) = relevant
+    docs, neg_feedback(query_id, doc_id) = optional non-relevant docs.
     → expanded (query_id, term, weight): original query weights (α·idf·qtf)
-    plus β·centroid of feedback doc vectors, capped at max_terms new terms.
+    plus β·centroid of relevant vectors minus γ·centroid of non-relevant
+    vectors, clamped at 0 per term (reference rocchio.py:264-275), capped
+    at max_terms new terms.
 
     ``max_drift``: query-drift guard (reference rocchio.py:103-132,277-307;
     default 0.7 there). Drift = cosine DISTANCE between the original query
@@ -46,22 +54,35 @@ def rocchio_expand(
         weights = build_tfidf_weights(index)
     if "qtf" not in qterms.columns:
         qterms = qterms.withColumn("qtf", F.lit(1))
-    fb_sizes = feedback.groupBy("query_id").agg(F.count("*").alias("n_fb"))
-    centroid = (
-        weights.join(F.broadcast(feedback), "doc_id")
-        .groupBy("query_id", "term")
-        .agg(F.sum("w_norm").alias("sum_w"))
-        .join(F.broadcast(fb_sizes), "query_id")
-        .withColumn("fb_w", F.lit(beta) * F.col("sum_w") / F.col("n_fb"))
-        .select("query_id", "term", "fb_w")
-    )
+    def _centroid(fb: DataFrame, coef: float) -> DataFrame:
+        sizes = fb.groupBy("query_id").agg(F.count("*").alias("n_fb"))
+        return (
+            weights.join(F.broadcast(fb), "doc_id")
+            .groupBy("query_id", "term")
+            .agg(F.sum("w_norm").alias("sum_w"))
+            .join(F.broadcast(sizes), "query_id")
+            .withColumn("fb_w", F.lit(coef) * F.col("sum_w") / F.col("n_fb"))
+            .select("query_id", "term", "fb_w")
+        )
+
+    centroid = _centroid(feedback, beta)
+    if neg_feedback is not None:
+        # signed union: the γ centroid enters as a negative contribution
+        # and is summed with the β centroid per (query, term)
+        centroid = (
+            centroid.unionByName(_centroid(neg_feedback, -gamma))
+            .groupBy("query_id", "term")
+            .agg(F.sum("fb_w").alias("fb_w"))
+        )
     qvec = (
         index.term_stats.select("term", "idf")
         .join(F.broadcast(qterms), "term")
         .withColumn("q_w", F.lit(alpha) * F.col("qtf") * F.col("idf"))
         .select("query_id", "term", "q_w")
     )
-    weight_expr = F.col("q_w") + F.col("fb_w")
+    # γ subtraction can drive a term negative; the reference clamps the
+    # expanded vector at 0 (rocchio.py:272-275) — a no-op when γ is unused
+    weight_expr = F.greatest(F.lit(0.0), F.col("q_w") + F.col("fb_w"))
     if rank_dp is not None:
         # round before filter/rank so an independent re-implementation
         # (e.g. the SQL oracle) summing in a different order agrees

@@ -223,6 +223,46 @@ def test_rocchio_drift_guard_shrinks_expansion(spark):
     assert guarded.filter(F.col("term") == "qq").count() == 1
 
 
+# ------------------------------------------------ Q24 γ negative feedback
+def test_rocchio_gamma_subtracts_nonrelevant_and_clamps(spark):
+    """γ·centroid(D_nr) is subtracted from the expanded vector and the
+    result is clamped at 0 per term (reference rocchio.py:100,264-275):
+    a term appearing only in non-relevant docs never goes negative, and a
+    shared term's weight strictly drops vs the γ=0 expansion."""
+    from news_information_retrieval_system_spark.query.rocchio import rocchio_expand
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb shared"),
+            (1, "aa bb shared"),
+            (2, "bad shared noise"),
+            (3, "bad noise zz"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    q = spark.createDataFrame([("q1", "aa", 1)], "query_id string, term string, qtf int")
+    fb = spark.createDataFrame([("q1", 0), ("q1", 1)], "query_id string, doc_id long")
+    neg = spark.createDataFrame([("q1", 2), ("q1", 3)], "query_id string, doc_id long")
+    base = {
+        r["term"]: r["weight"]
+        for r in rocchio_expand(idx, q, fb, max_terms=20, min_weight=-1e9).collect()
+    }
+    got = {
+        r["term"]: r["weight"]
+        for r in rocchio_expand(
+            idx, q, fb, neg_feedback=neg, gamma=0.5, max_terms=20, min_weight=-1e9
+        ).collect()
+    }
+    # pure-negative term clamped at 0, never negative
+    assert got.get("bad", 0.0) == 0.0
+    assert all(w >= 0.0 for w in got.values())
+    # the term shared across both centroids strictly loses weight
+    assert got["shared"] < base["shared"]
+    # terms only in relevant docs are unaffected by γ
+    assert abs(got["bb"] - base["bb"]) < 1e-12
+
+
 # ------------------------------------------------- JVM dedup/fingerprints
 def test_simhash_jvm_matches_vote_semantics(spark):
     """JVM simhash: identical text → identical fingerprint; permuted text
