@@ -81,9 +81,10 @@ _PRIORITY: list[str] = [
     "hybrid_combmnz_topk",
     # -- semantics changed in round 4: re-verify
     "rocchio_terms",        # γ negative-feedback term added
-    "simhash_pairs",        # precision closure (total candidate count)
+    "simhash_pairs",        # companion to simhash_exact_pairs
     "jaccard_pairs",        # hot-shingle guard added (default off)
     # -- new round-4 entries
+    "simhash_exact_pairs",  # full banded pair set vs exact Hamming oracle
     "contract_violations",
     "normalized_records",
     "model_overlap",

@@ -99,8 +99,26 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def md5_hash64_col(term) -> "F.Column":
+    """64-bit int from the first 8 bytes of md5(term), little-endian —
+    bit-identical to ``simhash64_udf``'s per-token hash and replicable in
+    any engine with an md5() (the DuckDB oracle recomputes it from the hex
+    digits), unlike Spark-private xxhash64. Pure JVM expressions: 8
+    hex-pair conv()s OR-ed into one long (byte 7's shift into the sign bit
+    wraps — only the bit pattern matters downstream)."""
+    h = F.md5(term)
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        byte = F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+        out = out.bitwiseOR(F.shiftleft(byte, 8 * i))
+    return out
+
+
 def simhash64_df(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
 ) -> DataFrame:
     """(doc_id, sim): 64-bit SimHash computed ENTIRELY JVM-side — the
     scale-path replacement for the per-row-Python ``simhash64_udf``.
@@ -110,9 +128,12 @@ def simhash64_df(
     ``groupBy(doc_id)`` aggregation; the sign bits then assemble into the
     fingerprint with a bitwise-OR chain. Same vote semantics as the
     reference (deduplication.py:85-169: tf-weighted ±votes per bit, sign →
-    bit); hash fn is xxhash64 instead of md5, so fingerprints differ from
-    the UDF numerically but identically in structure. Token-less docs get
-    no row (they cannot near-dup anything)."""
+    bit); default hash fn is xxhash64 instead of md5, so fingerprints
+    differ from the UDF numerically but identically in structure —
+    ``hash_fn=md5_hash64_col`` restores bit-exact UDF/oracle parity.
+    Token-less docs get no row (they cannot near-dup anything)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
     )
@@ -120,7 +141,7 @@ def simhash64_df(
         toks.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", hash_fn("term"))
     )
     votes = [
         F.sum(
@@ -147,15 +168,18 @@ def simhash_candidates(
     hamming: int = 3,
     bands: int = 4,
     jvm: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 16-bit band buckets (any pair within
     Hamming ≤ 3 of 64 bits shares ≥1 of 4 bands by pigeonhole), verified
     with JVM popcount. → (doc_a, doc_b, hamming_dist). ``jvm=False`` keeps
-    the pandas-UDF fingerprint as the reference-parity fallback."""
+    the pandas-UDF fingerprint as the reference-parity fallback;
+    ``hash_fn`` forwards to :func:`simhash64_df` (md5_hash64_col makes the
+    whole pipeline oracle-replicable)."""
     assert 64 % bands == 0
     width = 64 // bands
     if jvm:
-        h = simhash64_df(docs, text_col, id_col).persist()
+        h = simhash64_df(docs, text_col, id_col, hash_fn=hash_fn).persist()
     else:
         h = docs.select(
             F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sim")
@@ -292,10 +316,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via shingle self-join
-    (no LSH — the oracle-checkable baseline; LSH must find a superset)."""
+    (no LSH — the oracle-checkable baseline; LSH must find a superset).
+
+    SCALE GUARD — ``max_shingle_df``: the self-join emits df² rows per
+    shingle, so one boilerplate shingle shared by m docs costs m² join rows
+    (quadratic blowup at corpus scale). Standard dedup practice drops
+    hot shingles before the join: with ``max_shingle_df=t`` any shingle
+    appearing in more than t docs is discarded from BOTH the pair
+    candidates and the per-doc set sizes (so Jaccard stays a true set
+    Jaccard over the surviving shingles). True near-dups share many rare
+    shingles, so recall loss is confined to docs whose overlap is ONLY
+    boilerplate. Default None = exact semantics — the sf0.01 oracle pins
+    this path; big-corpus callers must set a cap.
+    """
     sh = shingles_df(docs, text_col, id_col, k).persist()
+    if max_shingle_df is not None:
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # inner join on shingle (shuffle, no broadcast-size assumption —
+        # the cold set is O(vocab) and can exceed driver memory at scale)
+        sh_f = sh.join(cold, "shingle").persist()
+        sh.unpersist()
+        sh = sh_f
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (

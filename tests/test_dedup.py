@@ -68,6 +68,35 @@ def test_ngram_jaccard_exact(spark, docs):
     assert pairs[(0, 2)] == pytest.approx(6 / 8)
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """max_shingle_df bounds the self-join on a boilerplate-heavy corpus:
+    every doc shares one hot shingle (df = n_docs), so uncapped output is
+    quadratic while the capped run drops the hot shingle and keeps only
+    genuine rare-shingle overlaps."""
+    boiler = "all rights reserved legal"
+    rows = [(i, f"{boiler} unique{i} token{i} tail{i} body{i}") for i in range(20)]
+    rows += [(100, f"{boiler} shared shared shared alpha beta"),
+             (101, f"{boiler} shared shared shared alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, k=3, threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(df, k=3, threshold=0.01, max_shingle_df=5).collect()
+    # uncapped: every pair shares the boilerplate trigrams → ~n² pairs
+    assert len(uncapped) == 22 * 21 // 2
+    # capped: only the planted rare-shingle dup pair survives
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped}
+    assert set(pairs) == {(100, 101)}
+    # Jaccard recomputed over SURVIVING shingles only (sizes shrink too)
+    assert pairs[(100, 101)] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_cap_none_is_exact(spark, docs):
+    """Default (no cap) is bit-identical to the pre-guard exact semantics."""
+    a = sorted(map(tuple, ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, k=3, threshold=0.3, max_shingle_df=None).collect()))
+    assert a == b
+
+
 def test_minhash_lsh_superset_check(spark, docs):
     exact = {
         (r["doc_a"], r["doc_b"])
@@ -79,6 +108,30 @@ def test_minhash_lsh_superset_check(spark, docs):
     }
     # high-band LSH at this tiny scale should recover the exact pairs
     assert exact == lsh
+
+
+def test_md5_hash64_matches_python_and_udf(spark, docs):
+    """md5_hash64_col is bit-identical to the pandas-UDF token hash
+    (first 8 md5 bytes little-endian), so simhash64_df(hash_fn=md5) gives
+    the exact simhash64_udf fingerprints — JVM scale path with
+    reference-parity AND oracle-replicable hashes."""
+    import hashlib
+
+    from news_information_retrieval_system_spark.ops.dedup import (
+        md5_hash64_col,
+        simhash64_df,
+    )
+
+    terms = spark.createDataFrame([("fox",), ("tÖken",), ("a1",)], "term string")
+    for r in terms.select("term", md5_hash64_col(F.col("term")).alias("h")).collect():
+        exp = int.from_bytes(hashlib.md5(r["term"].encode()).digest()[:8], "little")
+        assert r["h"] & ((1 << 64) - 1) == exp
+    jvm = {r["doc_id"]: r["sim"] for r in simhash64_df(docs, hash_fn=md5_hash64_col).collect()}
+    udf = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64_udf("text").alias("s")).collect()
+    }
+    assert jvm == udf
 
 
 def test_shingles(spark, docs):
