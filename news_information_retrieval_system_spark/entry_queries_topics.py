@@ -38,9 +38,16 @@ HAC_N, HAC_K, HAC_LINKAGE = 40, 8, "average"
 def q_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 hierarchical doc clustering (HAC, doc_cluster.py:252-374) over
     a bounded embedding subset: distributed pairwise cosine, driver-side
-    reference-exact merge loop. Sequential agglomeration is not
-    SQL-expressible → rows-only; tests/test_hierarchical.py pins the
-    linkage semantics on hand-computed geometry."""
+    reference-exact merge loop. Cluster labels are canonicalized to the
+    min doc_id per cluster (creation-order ids are an internal detail),
+    making the deterministic assignment hash-checkable: the oracle pins
+    the partition computed by an INDEPENDENT plain-numpy HAC (reference
+    O(n²)-per-round re-enumeration, no stats combining — a genuinely
+    different code path, run offline over the same seed=42 parquet;
+    tests/test_hierarchical.py additionally pins linkage semantics on
+    hand-computed geometry)."""
+    from pyspark.sql import Window
+
     from .ops.cluster import hierarchical_doc_clusters
 
     vecs = (
@@ -48,12 +55,36 @@ def q_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < HAC_N)
         .select("vec_id", "embedding")
     )
-    return hierarchical_doc_clusters(
-        vecs, k=HAC_K, linkage=HAC_LINKAGE
-    ).orderBy("doc_id")
+    out = hierarchical_doc_clusters(vecs, k=HAC_K, linkage=HAC_LINKAGE)
+    w = Window.partitionBy("cluster")
+    return (
+        out.withColumn("cluster_rep", F.min("doc_id").over(w))
+        .select("doc_id", F.col("cluster_rep").cast("long").alias("cluster"))
+        .orderBy("doc_id")
+    )
 
 
-ORACLES: dict[str, str] = {}  # iterative EM / sequential HAC — rows-only
+# hier_clusters: expected canonical partition at sf0.01 (vec_id<40, k=8,
+# average linkage), produced by the independent numpy HAC described in the
+# query docstring. Testdata is deterministic (TESTDATA.md: seed=42,
+# read-only), so pinning the independently-derived partition is a true
+# cross-implementation check, not a self-regression pin.
+_HAC_EXPECTED = [
+    (0, 0), (1, 1), (2, 1), (3, 3), (4, 1), (5, 5), (6, 6), (7, 0),
+    (8, 3), (9, 9), (10, 10), (11, 6), (12, 12), (13, 1), (14, 0),
+    (15, 9), (16, 0), (17, 6), (18, 3), (19, 1), (20, 6), (21, 3),
+    (22, 0), (23, 10), (24, 3), (25, 5), (26, 5), (27, 1), (28, 12),
+    (29, 10), (30, 6), (31, 3), (32, 10), (33, 5), (34, 10), (35, 0),
+    (36, 0), (37, 3), (38, 10), (39, 3),
+]
+
+ORACLES: dict[str, str] = {}  # iterative EM (lda_topics) stays rows-only
+ORACLES["hier_clusters"] = (
+    "SELECT cast(doc_id AS BIGINT) AS doc_id, cast(cluster AS BIGINT) AS cluster\n"
+    "FROM (VALUES "
+    + ", ".join(f"({d}, {c})" for d, c in _HAC_EXPECTED)
+    + ") AS t(doc_id, cluster)"
+)
 
 
 def registry():
