@@ -76,7 +76,8 @@ def main() -> None:
         lows.append(run_bench(low, sf_dir))
         highs.append(run_bench(high, sf_dir))
     r_low, r_high = min_of(lows), min_of(highs)
-    n_queries = int(os.environ.get("SPARK_GRAFT_QUERIES", "256"))
+    n_queries = int(os.environ.get("SPARK_GRAFT_QUERIES", "1024"))
+    n_small = int(os.environ.get("SPARK_GRAFT_SMALL_QUERIES", str(min(256, n_queries))))
     n_naive = int(
         os.environ.get("SPARK_GRAFT_NAIVE_QUERIES", str(min(256, n_queries)))
     )
@@ -86,9 +87,14 @@ def main() -> None:
             r["turns"] / (q["build_flat"] + q["build_blocked"]), 1
         )
         r["qps_bm25"] = round(n_naive / q["bm25_batch"], 2)
-        if "bm25_docpart" in q:
-            r["qps_docpart"] = round(n_queries / q["bm25_docpart"], 2)
-        r["qps_wand"] = round(n_queries / q["wand_batch"], 2)
+        if "bm25_docpart_1024" in q:  # headline regime (bench.py r4)
+            r["qps_docpart"] = round(n_queries / q["bm25_docpart_1024"], 2)
+        elif "bm25_docpart" in q:
+            r["qps_docpart"] = round(n_small / q["bm25_docpart"], 2)
+        if "wand_batch_1024" in q:
+            r["qps_wand"] = round(n_queries / q["wand_batch_1024"], 2)
+        else:
+            r["qps_wand"] = round(n_small / q["wand_batch"], 2)
 
     def eff(phase: str) -> float:
         return round((r_low["queries"][phase] / r_high["queries"][phase]) / ratio, 3)
@@ -98,8 +104,14 @@ def main() -> None:
     build_high = r_high["queries"]["build_flat"] + r_high["queries"]["build_blocked"]
     qlow = r_low["queries"]
     qhigh = r_high["queries"]
-    query_low = qlow["bm25_docpart"] + qlow["wand_batch"]
-    query_high = qhigh["bm25_docpart"] + qhigh["wand_batch"]
+    # headline query regime: the 1024-batch phases when bench.py emits
+    # them (per-job fixed overhead amortized), else the small batch
+    if "wand_batch_1024" in qlow:
+        query_low = qlow["bm25_docpart_1024"] + qlow["wand_batch_1024"]
+        query_high = qhigh["bm25_docpart_1024"] + qhigh["wand_batch_1024"]
+    else:
+        query_low = qlow["bm25_docpart"] + qlow["wand_batch"]
+        query_high = qhigh["bm25_docpart"] + qhigh["wand_batch"]
     e_build = round((build_low / build_high) / ratio, 3)
     e_query = round((query_low / query_high) / ratio, 3)
     lines = [
@@ -155,9 +167,12 @@ def main() -> None:
     ]
     out_dir = REPO / "BENCH"
     out_dir.mkdir(exist_ok=True)
-    (out_dir / "BASELINE.md").write_text("\n".join(lines))
+    # default to a dated report file; BENCH/BASELINE.md is hand-curated
+    # across rounds and must not be clobbered by a single run
+    out_name = os.environ.get("SPARK_GRAFT_REPORT_OUT", f"scaling_{date.today()}.md")
+    (out_dir / out_name).write_text("\n".join(lines))
     print(
-        f"wrote {out_dir / 'BASELINE.md'}; build eff={e_build} query eff={e_query}"
+        f"wrote {out_dir / out_name}; build eff={e_build} query eff={e_query}"
     )
 
 
