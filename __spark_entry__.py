@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     "jaccard_pairs",        # hot-shingle guard added (default off)
     # -- new round-4 entries
     "simhash_exact_pairs",  # full banded pair set vs exact Hamming oracle
+    "model_unique_docs",    # Q27 unique-docs payload
+    "model_rank_changes",   # Q27 rank-span payload
     "contract_violations",
     "normalized_records",
     "model_overlap",

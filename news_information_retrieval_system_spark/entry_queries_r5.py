@@ -140,24 +140,55 @@ def q_normalized_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------------------- Q27 model overlap
-def q_model_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .query.compare import model_overlap
+# -------------------------------------------------------- Q27 model compare
+RANKCH_TOPN = 50
 
+
+def _ranked_models(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four retrieval models' top-k frames on the shared query set —
+    the comparison payload inputs (retrieval_orchestrator.py:278-314)."""
     idx = _index(spark, sf_dir)
     q = _qterms(spark)
 
     def _r(scored):
         return topk(scored.withColumn("score", F.round("score", 9)), k=TOPK)
 
-    ranked = {
+    return {
         "bm25": _r(score_bm25(idx, q, k1=K1, b=B)),
         "tfidf": _r(score_tfidf(idx, q)),
         "bim": _r(score_bim(idx, q)),
         "lm": _r(score_lm(idx, q, mu=MU)),
     }
-    return model_overlap(ranked).select(
+
+
+def q_model_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.compare import model_overlap
+
+    return model_overlap(_ranked_models(spark, sf_dir)).select(
         "query_id", "model_a", "model_b", F.col("overlap").cast("long")
+    )
+
+
+def q_model_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 unique-docs block: per (query, model) count of docs only that
+    model retrieved, zero-filled."""
+    from .query.compare import unique_docs
+
+    return unique_docs(_ranked_models(spark, sf_dir)).select(
+        "query_id", "model", F.col("unique_count").cast("long")
+    )
+
+
+def q_model_rank_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 rank-changes block: per doc ranked by >1 model, the rank span
+    across models (max−min), top 50 per query by span desc / doc_id asc."""
+    from .query.compare import rank_changes
+
+    return rank_changes(_ranked_models(spark, sf_dir), top_n=RANKCH_TOPN).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_models").cast("long").alias("n_models"),
+        F.col("rank_span").cast("long").alias("rank_span"),
     )
 
 
@@ -296,7 +327,7 @@ lscored AS (
 
 def _rank_cte(name: str, src: str) -> str:
     return f"""{name} AS (
-  SELECT query_id, doc_id FROM (
+  SELECT query_id, doc_id, rk FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY round(score, 9) DESC, doc_id ASC) AS rk
@@ -304,7 +335,10 @@ def _rank_cte(name: str, src: str) -> str:
 )"""
 
 
-ORACLES["model_overlap"] = f"""{_SQL_BASE},
+# shared prefix for the three Q27 comparison payloads: all four models
+# ranked (same rounding/tie-break the *_topk oracles pin) and tagged,
+# keeping rk for the rank-span stats
+_SQL_TAGGED = f"""{_SQL_BASE},
 {_SQL_BM25_SCORED},
 {_SQL_TFIDF_SCORED.lstrip()},
 {_SQL_BIM_SCORED.lstrip()},
@@ -314,11 +348,13 @@ ORACLES["model_overlap"] = f"""{_SQL_BASE},
 {_rank_cte("ri", "bscored")},
 {_rank_cte("rl", "lscored")},
 tagged AS (
-  SELECT query_id, doc_id, 'bm25' AS model FROM rb
-  UNION ALL SELECT query_id, doc_id, 'tfidf' FROM rt
-  UNION ALL SELECT query_id, doc_id, 'bim' FROM ri
-  UNION ALL SELECT query_id, doc_id, 'lm' FROM rl
-),
+  SELECT query_id, doc_id, rk, 'bm25' AS model FROM rb
+  UNION ALL SELECT query_id, doc_id, rk, 'tfidf' FROM rt
+  UNION ALL SELECT query_id, doc_id, rk, 'bim' FROM ri
+  UNION ALL SELECT query_id, doc_id, rk, 'lm' FROM rl
+)"""
+
+ORACLES["model_overlap"] = f"""{_SQL_TAGGED},
 pairs AS (
   SELECT * FROM (VALUES ('bim','bm25'), ('bim','lm'), ('bim','tfidf'),
                         ('bm25','lm'), ('bm25','tfidf'), ('lm','tfidf'))
@@ -339,6 +375,45 @@ SELECT g.query_id, g.model_a, g.model_b,
        cast(coalesce(c.overlap, 0) AS BIGINT) AS overlap
 FROM grid g LEFT JOIN counts c
   ON c.query_id = g.query_id AND c.model_a = g.model_a AND c.model_b = g.model_b
+"""
+
+ORACLES["model_unique_docs"] = f"""{_SQL_TAGGED},
+per_doc AS (
+  SELECT query_id, doc_id, count(DISTINCT model) AS n_models,
+         min(model) AS only_model
+  FROM tagged GROUP BY query_id, doc_id
+),
+ucounts AS (
+  SELECT query_id, only_model AS model, count(*) AS unique_count
+  FROM per_doc WHERE n_models = 1 GROUP BY query_id, only_model
+),
+models AS (SELECT * FROM (VALUES ('bim'), ('bm25'), ('lm'), ('tfidf')) m(model)),
+ugrid AS (
+  SELECT q.query_id, m.model
+  FROM (SELECT DISTINCT query_id FROM tagged) q CROSS JOIN models m
+)
+SELECT g.query_id, g.model,
+       cast(coalesce(u.unique_count, 0) AS BIGINT) AS unique_count
+FROM ugrid g LEFT JOIN ucounts u
+  ON u.query_id = g.query_id AND u.model = g.model
+"""
+
+ORACLES["model_rank_changes"] = f"""{_SQL_TAGGED},
+spans AS (
+  SELECT query_id, doc_id, count(DISTINCT model) AS n_models,
+         max(rk) - min(rk) AS rank_span
+  FROM tagged GROUP BY query_id, doc_id
+  HAVING count(DISTINCT model) > 1
+),
+ranked_spans AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rank_span DESC, doc_id ASC) AS _rn
+  FROM spans
+)
+SELECT query_id, cast(doc_id AS BIGINT) AS doc_id,
+       cast(n_models AS BIGINT) AS n_models,
+       cast(rank_span AS BIGINT) AS rank_span
+FROM ranked_spans WHERE _rn <= {RANKCH_TOPN}
 """
 
 _SUG_VALUES = ", ".join(
@@ -430,4 +505,6 @@ def registry() -> dict:
         "query_suggestions": q_query_suggestions,
         "json_docs": q_json_docs,
         "simhash_exact_pairs": q_simhash_exact_pairs,
+        "model_unique_docs": q_model_unique_docs,
+        "model_rank_changes": q_model_rank_changes,
     }

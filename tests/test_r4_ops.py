@@ -213,3 +213,35 @@ def test_lead_k(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = sorted(lead_k(df, k=2).collect(), key=lambda r: r["position"])
     assert [r["sentence"] for r in rows] == ["a b c d e f", "g h i j k"]
+
+
+def test_model_compare_payloads_hand_computed(spark):
+    """Q27 comparison payloads on a 2-model fixture: overlap counts,
+    unique-doc counts (zero-filled), rank spans for shared docs only."""
+    from news_information_retrieval_system_spark.query.compare import (
+        model_overlap,
+        rank_changes,
+        unique_docs,
+    )
+
+    ra = spark.createDataFrame(
+        [("q1", 1, 10), ("q1", 2, 11), ("q1", 3, 12), ("q2", 1, 20)],
+        "query_id string, rank long, doc_id long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", 1, 11), ("q1", 2, 13), ("q1", 3, 10), ("q2", 1, 21)],
+        "query_id string, rank long, doc_id long",
+    )
+    ranked = {"ma": ra, "mb": rb}
+    ov = {(r["query_id"], r["model_a"], r["model_b"]): r["overlap"]
+          for r in model_overlap(ranked).collect()}
+    # q1 shares {10, 11}; q2 shares nothing but the pair row must exist
+    assert ov == {("q1", "ma", "mb"): 2, ("q2", "ma", "mb"): 0}
+    uq = {(r["query_id"], r["model"]): r["unique_count"]
+          for r in unique_docs(ranked).collect()}
+    assert uq == {("q1", "ma"): 1, ("q1", "mb"): 1,
+                  ("q2", "ma"): 1, ("q2", "mb"): 1}
+    rc = {(r["query_id"], r["doc_id"]): (r["n_models"], r["rank_span"])
+          for r in rank_changes(ranked).collect()}
+    # doc 10: ranks 1 vs 3 -> span 2; doc 11: ranks 2 vs 1 -> span 1
+    assert rc == {("q1", 10): (2, 2), ("q1", 11): (2, 1)}
