@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "model_overlap",
     "query_suggestions",
     "json_docs",
+    "json_array_docs",
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",

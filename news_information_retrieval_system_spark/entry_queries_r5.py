@@ -235,6 +235,36 @@ def q_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_array_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 JSON-ARRAY reader (vs json_docs' JSONL): one file holding a
+    single JSON array of records, read with multiLine=true + explicit
+    schema. The array file is fixture scaffolding (driver-side dump of
+    the 500 sf0.01 rows); the unit under test is the reader path —
+    multiLine JSON cannot be split, so production guidance is JSONL for
+    anything large (reference loads whole-file json.load the same way,
+    news_loader semantics)."""
+    import json
+    import os
+
+    d = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nirs_jsonarr_")
+    rows = [r.asDict() for r in d.collect()]
+    with open(os.path.join(tmp, "docs.json"), "w") as f:
+        json.dump(rows, f)
+    return (
+        spark.read.schema(d.schema)
+        .option("multiLine", "true")
+        .json(tmp)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 SIMHASH_HAMMING, SIMHASH_BANDS = 15, 16
 
 
@@ -495,6 +525,7 @@ SELECT cast(doc_id AS BIGINT) AS doc_id, text, lang, source,
        cast(n_chars AS BIGINT) AS n_chars
 FROM documents
 """
+ORACLES["json_array_docs"] = ORACLES["json_docs"]
 
 
 def registry() -> dict:
@@ -504,6 +535,7 @@ def registry() -> dict:
         "model_overlap": q_model_overlap,
         "query_suggestions": q_query_suggestions,
         "json_docs": q_json_docs,
+        "json_array_docs": q_json_array_docs,
         "simhash_exact_pairs": q_simhash_exact_pairs,
         "model_unique_docs": q_model_unique_docs,
         "model_rank_changes": q_model_rank_changes,

@@ -61,9 +61,14 @@ def kmeans_assign(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).persist()  # scanned once per Lloyd iteration — cache, release at the end
-    init = (
-        v.orderBy("vec_id").limit(k).orderBy("vec_id").collect()
-    )  # k smallest ids, cluster id = rank
+    # seeds = the k smallest ids, cluster id = rank. Two steps so the
+    # TakeOrdered heap carries only longs (per-partition top-k of id-only
+    # rows → O(partitions·k·8B) to driver), then a broadcast semi-join
+    # fetches just the k seed vectors — never the full vector column
+    # through a sort (at 100 TB that heap would ship partitions·k·dim
+    # doubles to the driver).
+    seed_ids = [r["vec_id"] for r in v.select("vec_id").orderBy("vec_id").limit(k).collect()]
+    init = v.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
     centroids = [list(r["vec"]) for r in init]
 
     def assign(cdf: DataFrame) -> DataFrame:
