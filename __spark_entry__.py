@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "query_suggestions",
     "json_docs",
     "json_array_docs",
+    "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",

@@ -256,16 +256,20 @@ FROM rk WHERE rk <= {TR_TOPK}"""
 ORACLES["textrank_top"] = _textrank_oracle()
 
 
-def _kmeans_oracle() -> str:
+def lloyd_prefix(k: int, n_iters: int) -> str:
+    """WITH-chain computing deterministic Lloyd k-means in DuckDB over the
+    embeddings table: v (prepped vectors), c0..c{n_iters} (centroids per
+    iteration; c{n_iters} = final). Shared by the kmeans_clusters oracle
+    and the IVF probe/rerank oracle (entry_queries_r5)."""
     parts = [
         f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 c0 AS MATERIALIZED (
   SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e AS c
-  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {KM_K})
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
 )"""
     ]
-    for i in range(1, KM_ITERS + 1):
+    for i in range(1, n_iters + 1):
         c_prev = f"c{i - 1}"
         parts.append(
             f""",
@@ -290,8 +294,13 @@ c{i} AS MATERIALIZED (
   FROM {c_prev} p LEFT JOIN nc{i} nc USING (cluster)
 )"""
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return (
+        lloyd_prefix(KM_K, KM_ITERS)
+        + f""",
 fin AS (
   SELECT vec_id, cluster FROM (
     SELECT v.vec_id, c.cluster,
@@ -304,7 +313,6 @@ fin AS (
 SELECT cast(vec_id AS BIGINT) AS vec_id, cast(cluster AS BIGINT) AS cluster
 FROM fin"""
     )
-    return "".join(parts)
 
 
 ORACLES["kmeans_clusters"] = _kmeans_oracle()

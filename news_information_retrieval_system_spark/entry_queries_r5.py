@@ -266,6 +266,40 @@ def q_json_array_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING, SIMHASH_BANDS = 15, 16
+IVF_LIST, IVF_PROBE, IVF_ITERS, IVF_TOPK = 8, 3, 3, 20
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 IVF ANN scale path (complement to the LSH variant): coarse
+    k-means quantizer → inverted lists → probe the 3 nearest lists →
+    exact cosine re-rank of probed vectors only. The quantizer is fully
+    deterministic (seeded ids, round-9 cosine, cluster-asc ties), so the
+    oracle reproduces the Lloyd fit, the probe set, AND the re-rank —
+    the approximation itself is hash-checked, not just sanity-checked."""
+    from .entry_queries_ops import COSINE_QIDS
+    from .ops.similarity import ivf_cosine_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_cosine_topk(
+        vecs, COSINE_QIDS, k=IVF_TOPK,
+        n_list=IVF_LIST, n_probe=IVF_PROBE, n_iters=IVF_ITERS,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(F.col("cosine"), 5).alias("cosine_5dp"),
+        )
+    )
 
 
 def q_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +512,61 @@ FROM (SELECT * FROM fz WHERE rank <= {SUG_CAP}
       UNION ALL SELECT * FROM pf WHERE rank <= {SUG_CAP})
 """
 
+# IVF ANN: the oracle recomputes the ENTIRE approximate pipeline — Lloyd
+# quantizer (shared lloyd_prefix builder), inverted-list assignment, the
+# n_probe nearest lists per query, and the exact re-rank of probed
+# vectors — so the approximation's candidate set is itself hash-gated.
+def _ivf_oracle() -> str:
+    from .entry_queries_ops import COSINE_QIDS
+
+    from .entry_queries_r4 import lloyd_prefix
+
+    ids = ", ".join(str(i) for i in COSINE_QIDS)
+    return (
+        lloyd_prefix(IVF_LIST, IVF_ITERS)
+        + f""",
+fin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_cosine_similarity(v.e, c.c), 9) DESC,
+                                       c.cluster ASC) AS rk
+    FROM v CROSS JOIN c{IVF_ITERS} c
+  ) WHERE rk = 1
+),
+qv AS (SELECT vec_id AS query_id, e AS q FROM v WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT qv.query_id, c.cluster,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY round(list_cosine_similarity(qv.q, c.c), 9) DESC,
+                                       c.cluster ASC) AS prk
+    FROM qv CROSS JOIN c{IVF_ITERS} c
+  ) WHERE prk <= {IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, f.vec_id, list_cosine_similarity(qv.q, v.e) AS cos
+  FROM probes p
+  JOIN fin f USING (cluster)
+  JOIN qv ON qv.query_id = p.query_id
+  JOIN v ON v.vec_id = f.vec_id
+  WHERE f.vec_id <> p.query_id
+),
+rnk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT cast(query_id AS BIGINT) AS query_id, cast(rank AS BIGINT) AS rank,
+       cast(vec_id AS BIGINT) AS vec_id, round(cos, 5) AS cosine_5dp
+FROM rnk WHERE rank <= {IVF_TOPK}"""
+    )
+
+
+ORACLES["ivf_cosine_topk"] = _ivf_oracle()
+
+
 # Exact SimHash recomputed from first principles: md5 hex → 8 little-endian
 # bytes → 64 bit positions, tf-weighted ±votes per bit, sign → fingerprint
 # bit, then brute-force all-pairs Hamming via a per-bit join (550 docs ×
@@ -536,6 +625,7 @@ def registry() -> dict:
         "query_suggestions": q_query_suggestions,
         "json_docs": q_json_docs,
         "json_array_docs": q_json_array_docs,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "simhash_exact_pairs": q_simhash_exact_pairs,
         "model_unique_docs": q_model_unique_docs,
         "model_rank_changes": q_model_rank_changes,

@@ -46,21 +46,44 @@ def _round9(col):
     return F.round(col, 9)
 
 
-def kmeans_assign(
-    vecs: DataFrame,
-    k: int = 8,
-    n_iters: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (vec_id, cluster): deterministic k-means assignment after
-    ``n_iters`` Lloyd iterations (see module docstring for the exact
-    semantics an oracle must mirror)."""
-    spark = vecs.sparkSession
-    v = vecs.select(
+def _prep_vecs(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return vecs.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).persist()  # scanned once per Lloyd iteration — cache, release at the end
+    )
+
+
+def assign_to_centroids(v: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, vec) × broadcast (cluster, cvec) → nearest-centroid
+    assignment (vec_id, cluster, vec). Zero-norm guard (same as
+    pairwise_cosine): a zero/empty embedding scores 0.0 against every
+    centroid and lands in the lowest cluster id deterministically,
+    instead of a NULL cosine silently falling through to NULLS-LAST."""
+    denom = _norm(F.col("vec")) * _norm(F.col("cvec"))
+    scored = v.crossJoin(F.broadcast(cdf)).withColumn(
+        "cos",
+        _round9(
+            F.when(denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom)
+            .otherwise(F.lit(0.0))
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster", "vec")
+    )
+
+
+def kmeans_fit(
+    v: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd iterations over a prepped (vec_id, vec) frame → the final
+    k centroids (driver-side k×dim floats — the only rows ever
+    collected). Caller owns persistence of ``v``."""
+    spark = v.sparkSession
     # seeds = the k smallest ids, cluster id = rank. Two steps so the
     # TakeOrdered heap carries only longs (per-partition top-k of id-only
     # rows → O(partitions·k·8B) to driver), then a broadcast semi-join
@@ -70,33 +93,12 @@ def kmeans_assign(
     seed_ids = [r["vec_id"] for r in v.select("vec_id").orderBy("vec_id").limit(k).collect()]
     init = v.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
     centroids = [list(r["vec"]) for r in init]
-
-    def assign(cdf: DataFrame) -> DataFrame:
-        # zero-norm guard (same as pairwise_cosine below): a zero/empty
-        # embedding scores 0.0 against every centroid and lands in the
-        # lowest cluster id deterministically, instead of a NULL cosine
-        # silently falling through to the NULLS-LAST cluster
-        denom = _norm(F.col("vec")) * _norm(F.col("cvec"))
-        scored = v.crossJoin(F.broadcast(cdf)).withColumn(
-            "cos",
-            _round9(
-                F.when(denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom)
-                .otherwise(F.lit(0.0))
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cluster", "vec")
-        )
-
     for _ in range(n_iters):
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)],
             "cluster int, cvec array<double>",
         )
-        assigned = assign(cdf)
+        assigned = assign_to_centroids(v, cdf)
         new_rows = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -112,12 +114,28 @@ def kmeans_assign(
         )
         by_cluster = {r["cluster"]: list(r["cvec"]) for r in new_rows}
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+    return centroids
 
+
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, cluster): deterministic k-means assignment after
+    ``n_iters`` Lloyd iterations (see module docstring for the exact
+    semantics an oracle must mirror)."""
+    spark = vecs.sparkSession
+    # scanned once per Lloyd iteration — cache, release at the end
+    v = _prep_vecs(vecs, id_col, vec_col).persist()
+    centroids = kmeans_fit(v, k=k, n_iters=n_iters)
     final = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, cvec array<double>",
     )
-    out = assign(final).select("vec_id", "cluster")
+    out = assign_to_centroids(v, final).select("vec_id", "cluster")
     # release the iteration cache: the returned (lazy) plan re-reads the
     # source once when consumed — no persisted handle leaks to the caller
     v.unpersist()

@@ -121,6 +121,82 @@ def make_bucket_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to
+    ``lsh_cosine_topk``: a coarse quantizer (deterministic k-means,
+    ops.cluster semantics) partitions the corpus into ``n_list`` inverted
+    lists; a query ranks the k×dim centroid table (broadcast, driver-side
+    tiny) and exact-reranks ONLY the vectors in its ``n_probe`` nearest
+    lists. → (query_id, rank, vec_id, cosine), self excluded.
+
+    Scale shape: index assignment is one broadcast cross-join pass
+    (row-local, no shuffle beyond the planner's); the probe join touches
+    n_probe/n_list of the corpus per query. At 100 TB, persist the
+    assignment as a partitioned table (cluster = partition key) so probes
+    become partition-pruned scans. Recall < 1 by construction — the
+    brute-force ``cosine_topk`` is the oracle baseline, and the
+    deterministic quantizer (seeded ids, round-9 cosine, cluster-asc
+    ties) makes the candidate set itself engine-reproducible."""
+    from .cluster import _prep_vecs, assign_to_centroids, kmeans_fit
+
+    spark = vectors.sparkSession
+    v = _prep_vecs(vectors, id_col, vec_col).persist()
+    centroids = kmeans_fit(v, k=n_list, n_iters=n_iters)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>",
+    )
+    assigned = assign_to_centroids(v, cdf).withColumn("norm", _norm_col(F.col("vec")))
+    q = v.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+    ).withColumn("qnorm", _norm_col(F.col("qv")))
+    # probe set: same metric + tie-break as the quantizer (round-9 cosine
+    # desc, cluster asc) so an oracle reproduces the exact lists probed
+    qdenom = _norm_col(F.col("qv")) * _norm_col(F.col("cvec"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "ccos",
+            F.round(
+                F.when(qdenom > 0, _dot(F.col("qv"), F.col("cvec")) / qdenom)
+                .otherwise(F.lit(0.0)),
+                9,
+            ),
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= n_probe)
+        .select("query_id", "cluster", "qv", "qnorm")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", _dot(F.col("vec"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    out = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+    # eager row so the persisted prep frame can be released deterministically
+    out = out.localCheckpoint(eager=True)
+    v.unpersist()
+    return out
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     query_ids: list[int],

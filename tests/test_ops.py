@@ -153,3 +153,44 @@ def test_full_list_metrics_and_truncated_metrics(spark):
         math.exp(math.log(m["ap"] + 1e-10)), rel=1e-9
     )
     assert run["success_rate"] == 1.0
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With n_probe = n_list every inverted list is probed, so IVF must
+    reproduce the exact brute-force top-k (same ids, same order)."""
+    from news_information_retrieval_system_spark.ops.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 5, 11]
+    exact = cosine_topk(vecs, qids, k=5).collect()
+    ivf = ivf_cosine_topk(vecs, qids, k=5, n_list=4, n_probe=4, n_iters=2).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in ivf) == \
+           sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
+    ec = {key(r): r["cosine"] for r in exact}
+    for r in ivf:
+        assert r["cosine"] == pytest.approx(ec[key(r)], abs=1e-9)
+
+
+def test_ivf_partial_probe_subset_and_recall(spark):
+    """Partial probing returns a subset of each probed list's vectors,
+    ranked exactly; planted near-identical neighbors (same list by
+    construction) must be recalled at rank 1."""
+    from news_information_retrieval_system_spark.ops.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(3)
+    base = [rng.standard_normal(16) for _ in range(4)]
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + 0.01 * rng.standard_normal(16)
+        rows.append((i, v.tolist()))
+    # planted: vec 100 ~ vec 0 (cluster of base[0])
+    rows.append((100, (base[0] + 0.001 * rng.standard_normal(16)).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_cosine_topk(vecs, [100], k=3, n_list=4, n_probe=1, n_iters=3).collect()
+    assert out, "probed list must contain the planted cluster"
+    top = min(out, key=lambda r: r["rank"])
+    # rank-1 neighbor comes from base[0]'s cluster: ids ≡ 0 (mod 4)
+    assert top["vec_id"] % 4 == 0
