@@ -146,20 +146,24 @@ def test_no_cached_rdds_leak_after_ops(spark, docs):
     """Each LSH/dedup op releases its cached intermediates; the returned
     (persisted) pair frame is the one handle left, and unpersisting it
     leaves executor storage empty (round-2 judge hygiene criterion).
-    Earlier tests in this module hold (by design) persisted result
-    handles they never release — start from a clean cache so the
-    assertion measures THIS op's delta."""
+    Earlier tests hold (by design) persisted result handles they never
+    release, and localCheckpoint()ed results from other modules (docids
+    dense ids, IVF) survive clearCache until the ContextCleaner GCs
+    them — so measure each op's DELTA against the pre-op baseline
+    rather than asserting a globally empty store."""
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
     for op in (
         lambda: simhash_candidates(docs, hamming=12),
         lambda: minhash_lsh_pairs(docs, k=3, threshold=0.5),
         lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.3),
+        lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_shingle_df=100),
     ):
         out = op()
         out.count()
         out.unpersist(blocking=True)
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() == baseline
 
 
 def test_simhash_planted_precision_and_completeness(spark):
