@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "json_docs",
     "json_array_docs",
     "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
+    "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",

@@ -512,6 +512,57 @@ FROM (SELECT * FROM fz WHERE rank <= {SUG_CAP}
       UNION ALL SELECT * FROM pf WHERE rank <= {SUG_CAP})
 """
 
+HDS_W_LEX, HDS_W_DENSE, HDS_DEPTH = 0.5, 0.5, 50
+
+
+def q_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse hybrid retrieval (Q21 × A11): RRF-fuse the BM25
+    lexical ranking with the exact dense cosine ranking, equal weights.
+    Query embeddings are fixture-mapped (query qN ↔ embeddings.vec_id N;
+    in production they come from the same encoder as the corpus), and
+    embeddings.vec_id indexes the same documents as documents.doc_id.
+    Both inner rankings use 9dp-rounded scores (engine summation-order
+    safety), matching q_rrf_topk's convention."""
+    from .entry_queries import QUERY_SET, RRF_K, _ranked_out
+    from .ops.similarity import cosine_topk
+    from .query.hybrid import rrf_fuse
+
+    idx = _index(spark, sf_dir)
+    q = _qterms(spark)
+    lex = topk(
+        score_bm25(idx, q, k1=K1, b=B).withColumn("score", F.round("score", 9)),
+        k=HDS_DEPTH,
+    )
+    qmap = {qid: int(qid[1:]) for qid in QUERY_SET}
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    draw = cosine_topk(vecs, sorted(qmap.values()), k=HDS_DEPTH)
+    from pyspark.sql import Window as _W
+
+    wq = _W.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("vec_id")
+    )
+    mapdf = spark.createDataFrame(
+        [(v, k) for k, v in qmap.items()], "qvid long, qid string"
+    )
+    dense = (
+        draw.drop("rank")
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= HDS_DEPTH)
+        .join(F.broadcast(mapdf), F.col("query_id") == F.col("qvid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    fused = rrf_fuse(
+        [(lex.select("query_id", "doc_id", "rank"), HDS_W_LEX),
+         (dense, HDS_W_DENSE)],
+        rrf_k=RRF_K,
+    )
+    return _ranked_out(fused)
+
+
 # IVF ANN: the oracle recomputes the ENTIRE approximate pipeline — Lloyd
 # quantizer (shared lloyd_prefix builder), inverted-list assignment, the
 # n_probe nearest lists per query, and the exact re-rank of probed
@@ -565,6 +616,51 @@ FROM rnk WHERE rank <= {IVF_TOPK}"""
 
 
 ORACLES["ivf_cosine_topk"] = _ivf_oracle()
+
+
+def _hds_oracle() -> str:
+    from .entry_queries import QUERY_SET, RRF_K
+
+    qmap_vals = ", ".join(f"('{qid}', {int(qid[1:])})" for qid in QUERY_SET)
+    return f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+r1 AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+       FROM scored),
+qmap(query_id, qvid) AS (VALUES {qmap_vals}),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dq AS (SELECT qmap.query_id, qmap.qvid, ev.e AS qe
+       FROM qmap JOIN ev ON ev.vec_id = qmap.qvid),
+dscored AS (
+  SELECT dq.query_id, ev.vec_id AS doc_id,
+         round(list_cosine_similarity(dq.qe, ev.e), 9) AS cos
+  FROM dq CROSS JOIN ev
+  WHERE ev.vec_id <> dq.qvid
+),
+dr AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id ASC) AS rank
+       FROM dscored),
+fused AS (
+  SELECT query_id, doc_id, sum(contrib) AS score FROM (
+    SELECT query_id, doc_id, {HDS_W_LEX} / ({RRF_K} + rank) AS contrib
+    FROM r1 WHERE rank <= {HDS_DEPTH}
+    UNION ALL
+    SELECT query_id, doc_id, {HDS_W_DENSE} / ({RRF_K} + rank) AS contrib
+    FROM dr WHERE rank <= {HDS_DEPTH}
+  ) GROUP BY query_id, doc_id
+),
+rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+       FROM fused)
+SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp
+FROM rk WHERE rank <= {TOPK}"""
+
+
+ORACLES["hybrid_dense_sparse_topk"] = _hds_oracle()
 
 
 # Exact SimHash recomputed from first principles: md5 hex → 8 little-endian
@@ -626,6 +722,7 @@ def registry() -> dict:
         "json_docs": q_json_docs,
         "json_array_docs": q_json_array_docs,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "hybrid_dense_sparse_topk": q_hybrid_dense_sparse,
         "simhash_exact_pairs": q_simhash_exact_pairs,
         "model_unique_docs": q_model_unique_docs,
         "model_rank_changes": q_model_rank_changes,
