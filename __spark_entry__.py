@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "json_array_docs",
     "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
     "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
+    "pfor_stats",           # PForDelta codec: encoder bytes vs closed-form
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",

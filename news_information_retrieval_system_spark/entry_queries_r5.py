@@ -563,6 +563,105 @@ def q_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_out(fused)
 
 
+def q_pfor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PForDelta posting-list compression report (north-rule
+    "varint/PForDelta block compression"; reference ships VByte/Gamma/Delta
+    only — compression.py:73-639 — so this is the extension op): per term,
+    gap-encode the sorted doc_id list (same totalized first gap = doc_id+1
+    as compression_compare) and report the exhaustively-chosen frame width
+    b*, exception count, and exact encoded bytes. The Spark side runs the
+    REAL encoder (len(pfor_encode(gaps))); the oracle reproduces the byte
+    count from the closed-form cost model alone, so any drift between
+    encoder and cost model hash-mismatches."""
+    import pandas as pd
+
+    from .index.codec import pfor_stats as _pstats
+
+    idx = _index(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        s = _pstats(d)
+        return pd.DataFrame(
+            [(pdf["term"].iloc[0], s["n"], s["b"], s["n_exceptions"],
+              s["compressed_size"])],
+            columns=["term", "n", "b", "n_exceptions", "pfor_bytes"],
+        )
+
+    return (
+        idx.postings.select("term", "doc_id")
+        .groupBy("term")
+        .applyInPandas(
+            kernel,
+            schema="term string, n long, b long, n_exceptions long, pfor_bytes long",
+        )
+    )
+
+
+# Closed-form PForDelta cost in SQL, mirroring pfor_choose_width exactly:
+# cost(b) = 1 + varint(n) + varint(n_exc) + ceil(n*b/8)
+#         + Σ varint(exception-position deltas) + Σ varint(gap >> b)
+# where varint(x) = ceil(bit_length(max(x,1))/7) = ceil(length(bin(x))/7)
+# (bin(0)='0' → 1 byte, matching the encoder). The b grid runs past the
+# max bit length; those widths cost ≥ cost(max_bl) and lose ties to
+# smaller b, so argmin matches the encoder's 0..max_bl scan.
+_PFOR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+post AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (
+  SELECT term,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS pos,
+         CASE WHEN lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) IS NULL
+              THEN doc_id + 1
+              ELSE doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+         END AS gap
+  FROM post
+),
+vals AS (SELECT term, pos, gap, length(bin(gap)) AS L FROM g),
+tn AS (SELECT term, count(*) AS n FROM vals GROUP BY term),
+bs AS (SELECT unnest(generate_series(0, 54)) AS b),
+excd AS (
+  SELECT term, b, L - b AS hibits,
+         pos - coalesce(lag(pos) OVER (PARTITION BY term, b ORDER BY pos), 0)
+           AS delta
+  FROM (SELECT v.term, bs.b, v.pos, v.L FROM vals v JOIN bs ON v.L > bs.b)
+),
+eagg AS (
+  SELECT term, b, count(*) AS n_exc,
+         sum(CAST(ceil(length(bin(delta)) / 7.0) AS BIGINT)) AS pos_bytes,
+         sum(CAST(ceil(hibits / 7.0) AS BIGINT)) AS hi_bytes
+  FROM excd GROUP BY term, b
+),
+costs AS (
+  SELECT tn.term, tn.n, bs.b,
+         coalesce(e.n_exc, 0) AS n_exc,
+         1
+         + CAST(ceil(length(bin(tn.n)) / 7.0) AS BIGINT)
+         + CAST(ceil(length(bin(coalesce(e.n_exc, 0))) / 7.0) AS BIGINT)
+         + CAST(ceil(tn.n * bs.b / 8.0) AS BIGINT)
+         + coalesce(e.pos_bytes, 0) + coalesce(e.hi_bytes, 0) AS cost
+  FROM tn CROSS JOIN bs
+  LEFT JOIN eagg e ON e.term = tn.term AND e.b = bs.b
+),
+best AS (
+  SELECT term, n, b, n_exc, cost,
+         row_number() OVER (PARTITION BY term ORDER BY cost ASC, b ASC) AS rn
+  FROM costs
+)
+SELECT term, cast(n AS BIGINT) AS n, cast(b AS BIGINT) AS b,
+       cast(n_exc AS BIGINT) AS n_exceptions,
+       cast(cost AS BIGINT) AS pfor_bytes
+FROM best WHERE rn = 1
+"""
+
+ORACLES["pfor_stats"] = _PFOR_ORACLE
+
+
 # IVF ANN: the oracle recomputes the ENTIRE approximate pipeline — Lloyd
 # quantizer (shared lloyd_prefix builder), inverted-list assignment, the
 # n_probe nearest lists per query, and the exact re-rank of probed
@@ -723,6 +822,7 @@ def registry() -> dict:
         "json_array_docs": q_json_array_docs,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "hybrid_dense_sparse_topk": q_hybrid_dense_sparse,
+        "pfor_stats": q_pfor_stats,
         "simhash_exact_pairs": q_simhash_exact_pairs,
         "model_unique_docs": q_model_unique_docs,
         "model_rank_changes": q_model_rank_changes,

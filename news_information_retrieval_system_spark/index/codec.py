@@ -240,6 +240,206 @@ def delta_decode(data: bytes, total_bits: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint64)
 
 
+# ------------------------------------------------------------ PForDelta
+# Patched Frame-of-Reference (PForDelta — Zukowski et al., "Super-Scalar
+# RAM-CPU Cache Compression", ICDE 2006; the north rule names it alongside
+# varint as the posting-block codec family). Layout per stream, fully
+# self-describing so three streams (gaps/tfs/dls) can be chained in one
+# block blob and decoded sequentially:
+#
+#     byte 0            : b  (frame bit width, 0..63)
+#     varint            : n  (value count)
+#     varint            : n_exc (exception count)
+#     ceil(n*b/8) bytes : low b bits of EVERY value, MSB-first per value
+#     varint stream     : exception positions as deltas (first = pos0,
+#                         then pos[i] - pos[i-1]; strictly increasing)
+#     varint stream     : exception high parts (v >> b, each ≥ 1)
+#
+# b is chosen EXHAUSTIVELY as the width minimizing the exact encoded byte
+# size (ties → smallest b) — deterministic, so an independent
+# re-implementation (the DuckDB oracle) reproduces byte counts from the
+# closed-form cost alone:
+#
+#   cost(b) = 1 + varint_bytes(n) + varint_bytes(n_exc(b)) + ceil(n*b/8)
+#           + Σ varint_bytes(pos deltas)  + Σ varint_bytes(v >> b)
+#             over values with bit_length(v) > b
+#
+# Reference parity: the reference ships VByte/Gamma/Delta only
+# (src/ir/index/compression.py:73-639); PForDelta is the north-rule
+# extension filling the "varint/PForDelta block compression" requirement.
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while tmp.any():
+        bl += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(1)
+    return bl
+
+
+def _varint_bytes_scalar(x: int) -> int:
+    return 1 if x == 0 else (x.bit_length() + 6) // 7
+
+
+def pfor_choose_width(vals: np.ndarray) -> tuple[int, int]:
+    """(b*, total_bytes) minimizing the exact encoded size; ties → smaller
+    b. Loop over candidate widths (≤ max bit_length ≤ 64 iterations), each
+    iteration vectorized."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    bl = _bit_lengths(v)
+    max_bl = int(bl.max()) if n else 0
+    fixed = 1 + _varint_bytes_scalar(n)
+    best_b, best_cost = 0, None
+    for b in range(max_bl + 1):
+        mask = bl > b
+        n_exc = int(mask.sum())
+        cost = fixed + _varint_bytes_scalar(n_exc) + (n * b + 7) // 8
+        if n_exc:
+            # high parts: v >> b has bit_length bl - b
+            cost += int(((bl[mask] - b + 6) // 7).sum())
+            pos = np.flatnonzero(mask).astype(np.uint64)
+            deltas = np.empty(pos.shape, dtype=np.uint64)
+            deltas[0] = pos[0]
+            deltas[1:] = pos[1:] - pos[:-1]
+            cost += int(varint_byte_lengths(deltas).sum())
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b, int(best_cost if best_cost is not None else fixed + 1)
+
+
+def pfor_encode(vals: np.ndarray) -> bytes:
+    """uint64 array → self-describing PForDelta stream (layout above)."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    b, _ = pfor_choose_width(v)
+    head = bytes([b]) + varint_encode(np.array([n], dtype=np.uint64)).tobytes()
+    if n == 0:
+        return head + varint_encode(np.array([0], dtype=np.uint64)).tobytes()
+    bl = _bit_lengths(v)
+    mask = bl > b
+    n_exc = int(mask.sum())
+    parts = [head, varint_encode(np.array([n_exc], dtype=np.uint64)).tobytes()]
+    if b:
+        low = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))
+        packed, _ = _pack_bits(low, np.full(n, b, dtype=np.int64))
+        parts.append(packed.tobytes())
+    if n_exc:
+        pos = np.flatnonzero(mask).astype(np.uint64)
+        deltas = np.empty(pos.shape, dtype=np.uint64)
+        deltas[0] = pos[0]
+        deltas[1:] = pos[1:] - pos[:-1]
+        parts.append(varint_encode(deltas).tobytes())
+        parts.append(varint_encode(v[mask] >> np.uint64(b)).tobytes())
+    return b"".join(parts)
+
+
+def _varint_decode_count(buf: np.ndarray, offset: int, count: int):
+    """Decode exactly ``count`` varints starting at ``offset`` →
+    (values, next_offset). Varints are self-terminating (MSB clear on the
+    final byte), so the consumed span is found by scanning terminators."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    is_last = (buf[offset:] & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    stop = offset + int(ends[count - 1]) + 1
+    return varint_decode(buf[offset:stop]), stop
+
+
+def pfor_decode_at(buf: np.ndarray, offset: int = 0):
+    """Decode one PForDelta stream at ``offset`` → (uint64 values,
+    next_offset). Sequential chaining = block decode."""
+    b = int(buf[offset])
+    (narr, off) = _varint_decode_count(buf, offset + 1, 1)
+    n = int(narr[0])
+    (earr, off) = _varint_decode_count(buf, off, 1)
+    n_exc = int(earr[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), off
+    if b:
+        nbytes = (n * b + 7) // 8
+        bits = np.unpackbits(buf[off : off + nbytes])[: n * b].reshape(n, b)
+        weights = (np.uint64(1) << np.arange(b - 1, -1, -1, dtype=np.uint64))
+        vals = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        off += nbytes
+    else:
+        vals = np.zeros(n, dtype=np.uint64)
+    if n_exc:
+        deltas, off = _varint_decode_count(buf, off, n_exc)
+        highs, off = _varint_decode_count(buf, off, n_exc)
+        pos = np.cumsum(deltas.astype(np.int64))
+        vals[pos] |= highs << np.uint64(b)
+    return vals, off
+
+
+def pfor_decode(data: bytes) -> np.ndarray:
+    vals, _ = pfor_decode_at(np.frombuffer(data, dtype=np.uint8), 0)
+    return vals
+
+
+def encode_block_pfor(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_base: int
+) -> bytes:
+    """PForDelta twin of ``encode_block``: same (sorted-unique doc_ids,
+    tfs, dls, base) contract, blob = pfor(gaps) ++ pfor(tfs) ++ pfor(dls)
+    (each stream self-describing, decoded sequentially)."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(d.shape, dtype=np.uint64)
+    if d.size:
+        gaps[0] = np.uint64(int(d[0]) - int(block_base))
+        np.subtract(d[1:], d[:-1], out=gaps[1:].view(np.int64))
+    return (
+        pfor_encode(gaps)
+        + pfor_encode(np.asarray(tfs, dtype=np.uint64))
+        + pfor_encode(np.asarray(dls, dtype=np.uint64))
+    )
+
+
+def decode_block_pfor(data: bytes, n: int, block_base: int):
+    """blob → (doc_ids int64, tfs int64, dls int64); inverse of
+    ``encode_block_pfor``. ``n`` is validated against the stream headers."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    gaps, off = pfor_decode_at(buf, 0)
+    tfs, off = pfor_decode_at(buf, off)
+    dls, off = pfor_decode_at(buf, off)
+    assert gaps.size == tfs.size == dls.size == n, (
+        f"corrupt pfor block: {gaps.size}/{tfs.size}/{dls.size} != {n}"
+    )
+    doc_ids = np.cumsum(gaps.astype(np.int64)) + np.int64(block_base)
+    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
+
+
+# Pluggable block-codec registry (SURVEY.md §7 "keep codec pluggable").
+# "varint" is the production default — its byte layout is pinned by the
+# oracle-checked compression stats; "pfor" is selected via the ``codec``
+# parameter on build_blocked_postings / merge_segments / wand_topk.
+BLOCK_CODECS: dict = {
+    "varint": (encode_block, decode_block),
+    "pfor": (encode_block_pfor, decode_block_pfor),
+}
+
+
+def pfor_stats(doc_ids: np.ndarray) -> dict:
+    """Per-posting-list PForDelta size report over the SAME totalized gap
+    stream as ``compare_compression`` (first gap = doc_id[0] + 1): chosen
+    width, exception count, encoded bytes (actual encoder output — the
+    DuckDB oracle reproduces the number from the closed-form cost)."""
+    g = _gaps(np.asarray(doc_ids))
+    b, cost = pfor_choose_width(g)
+    blob = pfor_encode(g)
+    assert len(blob) == cost, f"pfor cost model drift: {len(blob)} != {cost}"
+    n_exc = int((_bit_lengths(g) > b).sum())
+    raw = 4 * len(g)
+    return {
+        "n": int(len(g)),
+        "b": int(b),
+        "n_exceptions": n_exc,
+        "compressed_size": len(blob),
+        "compression_ratio": len(blob) / raw if raw else 1.0,
+    }
+
+
 def _gaps(doc_ids: np.ndarray) -> np.ndarray:
     """Reference encode_gaps (compression.py:410-434): first gap is the
     first doc_id itself — which its gamma path REJECTS for doc_id 0. We

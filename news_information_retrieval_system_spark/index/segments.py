@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenize import tokenizer
-from .codec import decode_block, encode_block, varint_byte_lengths, varint_encode
+from .codec import (
+    BLOCK_CODECS,
+    decode_block,
+    encode_block,
+    varint_byte_lengths,
+    varint_encode,
+)
 
 DEFAULT_SPAN_BITS = 14  # ≤ 16384 docs per (term, block) group
 
@@ -49,7 +55,7 @@ BLOCK_SCHEMA = (
 
 
 def _encode_partition(
-    batches: Iterator[pd.DataFrame], span_bits: int
+    batches: Iterator[pd.DataFrame], span_bits: int, codec: str = "varint"
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: ONE call per partition (not per group — per-group
     Arrow round-trips were ~500µs each, dominating encode time for small
@@ -75,25 +81,39 @@ def _encode_partition(
     starts = np.flatnonzero(new)
     ends = np.append(starts[1:], n)
     sizes = ends - starts
-    gid = np.repeat(np.arange(starts.size), sizes)
-    gaps = np.empty(n, dtype=np.uint64)
-    if n > 1:
-        gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
-    gaps[starts] = (d[starts] - (bk[starts] << span_bits)).astype(np.uint64)
-    # interleave per group: [gaps | tfs | dls], groups contiguous
-    within = np.arange(n, dtype=np.int64) - starts[gid]
-    pos_g = 3 * starts[gid] + within
-    pos_t = pos_g + sizes[gid]
-    pos_l = pos_t + sizes[gid]
-    stream = np.empty(3 * n, dtype=np.uint64)
-    stream[pos_g] = gaps
-    stream[pos_t] = tf.astype(np.uint64)
-    stream[pos_l] = dl.astype(np.uint64)
-    enc = varint_encode(stream).tobytes()
-    nb = varint_byte_lengths(stream)
-    gbytes = np.add.reduceat(nb, 3 * starts)
-    bends = np.cumsum(gbytes)
-    bstarts = bends - gbytes
+    if codec == "varint":
+        gid = np.repeat(np.arange(starts.size), sizes)
+        gaps = np.empty(n, dtype=np.uint64)
+        if n > 1:
+            gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        gaps[starts] = (d[starts] - (bk[starts] << span_bits)).astype(np.uint64)
+        # interleave per group: [gaps | tfs | dls], groups contiguous
+        within = np.arange(n, dtype=np.int64) - starts[gid]
+        pos_g = 3 * starts[gid] + within
+        pos_t = pos_g + sizes[gid]
+        pos_l = pos_t + sizes[gid]
+        stream = np.empty(3 * n, dtype=np.uint64)
+        stream[pos_g] = gaps
+        stream[pos_t] = tf.astype(np.uint64)
+        stream[pos_l] = dl.astype(np.uint64)
+        enc = varint_encode(stream).tobytes()
+        nb = varint_byte_lengths(stream)
+        gbytes = np.add.reduceat(nb, 3 * starts)
+        bends = np.cumsum(gbytes)
+        bstarts = bends - gbytes
+        data = [enc[s:e] for s, e in zip(bstarts, bends)]
+        gbytes = gbytes.astype(np.int32)
+    else:
+        # alternate codecs (e.g. pfor) pick parameters PER GROUP (frame
+        # width b), so the one-pass whole-partition encode doesn't apply;
+        # per-group numpy encodes instead (each group's inner work stays
+        # vectorized).
+        enc_fn = BLOCK_CODECS[codec][0]
+        data = [
+            enc_fn(d[s:e], tf[s:e], dl[s:e], int(bk[s]) << span_bits)
+            for s, e in zip(starts, ends)
+        ]
+        gbytes = np.array([len(x) for x in data], dtype=np.int32)
     yield pd.DataFrame(
         {
             "tid": tid[starts],
@@ -104,8 +124,8 @@ def _encode_partition(
             "max_doc": d[ends - 1],
             "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
             "min_dl": np.minimum.reduceat(dl, starts).astype(np.int32),
-            "nbytes": gbytes.astype(np.int32),
-            "data": [enc[s:e] for s, e in zip(bstarts, bends)],
+            "nbytes": gbytes,
+            "data": data,
         }
     )
 
@@ -117,7 +137,7 @@ _TID_BLOCK_SCHEMA = (
 
 
 def _merge_tid_partition(
-    batches: Iterator[pd.DataFrame], span_bits: int
+    batches: Iterator[pd.DataFrame], span_bits: int, codec: str = "varint"
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel merging duplicate (tid, tid2, block_key) block
     fragments within a partition. Rows arrive hash-partitioned by the key
@@ -142,6 +162,7 @@ def _merge_tid_partition(
     out = [pdf.iloc[starts[singleton]]]
     dup_groups = np.flatnonzero(~singleton)
     if dup_groups.size:
+        enc_fn, dec_fn = BLOCK_CODECS[codec]
         data = pdf["data"].to_numpy(object)
         nrow = pdf["n"].to_numpy(np.int64)
         rows = []
@@ -150,7 +171,7 @@ def _merge_tid_partition(
             base = int(bk[s]) << span_bits
             ds, tfs, dls = [], [], []
             for i in range(s, e):
-                d, tf, dl = decode_block(data[i], int(nrow[i]), base)
+                d, tf, dl = dec_fn(data[i], int(nrow[i]), base)
                 ds.append(d)
                 tfs.append(tf)
                 dls.append(dl)
@@ -159,7 +180,7 @@ def _merge_tid_partition(
             d = d[order]
             tf = np.concatenate(tfs)[order]
             dl = np.concatenate(dls)[order]
-            blob = encode_block(d, tf, dl, base)
+            blob = enc_fn(d, tf, dl, base)
             rows.append(
                 (int(tid[s]), int(tid2[s]), int(bk[s]), len(d), int(d[0]),
                  int(d[-1]), int(tf.max()), int(dl.min()), len(blob), blob)
@@ -175,6 +196,7 @@ def build_blocked_postings(
     term_dict: DataFrame | None = None,
     raw_shuffle: bool | None = None,
     overlap_threshold: float = 2.0,
+    codec: str = "varint",
 ) -> DataFrame:
     """Flat postings (term, doc_id, tf, dl) → compressed block rows.
 
@@ -255,20 +277,22 @@ def build_blocked_postings(
             blocked.repartition(parts, "tid", "tid2", "block_key")
             .sortWithinPartitions("tid", "tid2", "block_key", "doc_id")
             .mapInPandas(
-                lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
+                lambda it: _encode_partition(it, span_bits, codec),
+                schema=_TID_BLOCK_SCHEMA,
             )
         )
     else:
         seg = blocked.sortWithinPartitions(
             "tid", "tid2", "block_key", "doc_id"
         ).mapInPandas(
-            lambda it: _encode_partition(it, span_bits), schema=_TID_BLOCK_SCHEMA
+            lambda it: _encode_partition(it, span_bits, codec),
+            schema=_TID_BLOCK_SCHEMA,
         )
         enc = (
             seg.repartition(parts, "tid", "tid2", "block_key")
             .sortWithinPartitions("tid", "tid2", "block_key", "min_doc")
             .mapInPandas(
-                lambda it: _merge_tid_partition(it, span_bits),
+                lambda it: _merge_tid_partition(it, span_bits, codec),
                 schema=_TID_BLOCK_SCHEMA,
             )
         )
@@ -289,12 +313,14 @@ def build_blocked_postings(
 
 
 def merge_segments(
-    segments: DataFrame, span_bits: int = DEFAULT_SPAN_BITS
+    segments: DataFrame, span_bits: int = DEFAULT_SPAN_BITS, codec: str = "varint"
 ) -> DataFrame:
     """Shuffle-aware merge of per-segment block tables: same (term,
     block_key) from different segments decode → concat-sort → re-encode.
     Disjoint groups pass through untouched (the common case when segments
     partition the doc-id space)."""
+
+    enc_fn, dec_fn = BLOCK_CODECS[codec]
 
     def remerge(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -305,7 +331,7 @@ def merge_segments(
                 continue
             ds, tfs, dls = [], [], []
             for _, row in g.iterrows():
-                d, tf, dl = decode_block(row["data"], row["n"], base)
+                d, tf, dl = dec_fn(row["data"], row["n"], base)
                 ds.append(d)
                 tfs.append(tf)
                 dls.append(dl)
@@ -314,7 +340,7 @@ def merge_segments(
             d = d[order]
             tf = np.concatenate(tfs)[order]
             dl = np.concatenate(dls)[order]
-            blob = encode_block(d, tf, dl, base)
+            blob = enc_fn(d, tf, dl, base)
             out.append(
                 pd.DataFrame(
                     [(term, int(bk), len(d), int(d[0]), int(d[-1]),
@@ -330,7 +356,10 @@ def merge_segments(
 
 
 def index_from_blocks(
-    blocks: DataFrame, docs: DataFrame, span_bits: int = DEFAULT_SPAN_BITS
+    blocks: DataFrame,
+    docs: DataFrame,
+    span_bits: int = DEFAULT_SPAN_BITS,
+    codec: str = "varint",
 ):
     """Hydrate a queryable FulltextIndex from a (possibly merged) block
     table: decode → flat postings, then re-derive df/idf/dl/avgdl — the
@@ -344,7 +373,7 @@ def index_from_blocks(
 
     from .build import FulltextIndex
 
-    postings = explode_blocks(blocks, span_bits)
+    postings = explode_blocks(blocks, span_bits, codec)
     term_agg = postings.groupBy("term").agg(
         F2.count("*").alias("df"), F2.sum("tf").alias("_ttf")
     )
@@ -368,15 +397,18 @@ def index_from_blocks(
     return FulltextIndex(postings, term_stats, doc_stats, stats, docs, term_agg)
 
 
-def explode_blocks(blocks: DataFrame, span_bits: int = DEFAULT_SPAN_BITS) -> DataFrame:
+def explode_blocks(
+    blocks: DataFrame, span_bits: int = DEFAULT_SPAN_BITS, codec: str = "varint"
+) -> DataFrame:
     """Decode block rows back to flat postings (round-trip / debugging)."""
+    dec_fn = BLOCK_CODECS[codec][1]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
                 base = int(row["block_key"]) << span_bits
-                d, tf, dl = decode_block(row["data"], row["n"], base)
+                d, tf, dl = dec_fn(row["data"], row["n"], base)
                 outs.append(
                     pd.DataFrame(
                         {"term": row["term"], "doc_id": d, "tf": tf, "dl": dl}

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.codec import decode_block
+from ..index.codec import BLOCK_CODECS, decode_block
 from ..index.segments import DEFAULT_SPAN_BITS
 
 _NEG_INF = float("-inf")
@@ -48,6 +48,7 @@ def _make_kernel(
     avgdl: float,
     span_bits: int,
     theta0: dict | None = None,
+    codec: str = "varint",
 ):
     """theta0: per-query LOWER bound on the global k-th best score (from the
     seed pass). Any group whose per-query UB sum is below it can be skipped
@@ -55,6 +56,7 @@ def _make_kernel(
     pruning effectiveness independent of partition count (the partition-local
     heap alone prunes less the more partitions you run, i.e. anti-scaling)."""
     theta0 = theta0 or {}
+    dec_fn = BLOCK_CODECS[codec][1]
 
     def kernel(batches):
         pdfs = [p for p in batches if len(p)]
@@ -101,7 +103,7 @@ def _make_kernel(
             # decode each block row ONCE
             decoded = []
             for i in range(s, e):
-                d, tf, dl = decode_block(rows_data[i], int(rows_n[i]), base)
+                d, tf, dl = dec_fn(rows_data[i], int(rows_n[i]), base)
                 tf = tf.astype(np.float64)
                 contrib = (
                     rows_idf[i]
@@ -157,6 +159,7 @@ def wand_topk(
     b: float = 0.75,
     span_bits: int = DEFAULT_SPAN_BITS,
     seed_theta: bool = False,  # two-phase θ seeding (exact either way)
+    codec: str = "varint",  # must match the codec the blocks were built with
 ) -> DataFrame:
     """blocks: segments.BLOCK_SCHEMA table. qterms_with_idf: (query_id,
     term, qtf, idf). → (query_id, rank, doc_id, score), exact BM25 top-k.
@@ -237,7 +240,7 @@ def wand_topk(
             seed_keys = spark.createDataFrame(
                 [(bk,) for bk in seed_bks], "block_key long"
             )
-            seed_kernel = _make_kernel(k, k1, b, avgdl, span_bits)
+            seed_kernel = _make_kernel(k, k1, b, avgdl, span_bits, codec=codec)
             seed_cand = (
                 qmeta.join(F.broadcast(seed_keys), "block_key")
                 .repartition(min(parts, 8), "block_key")
@@ -270,7 +273,7 @@ def wand_topk(
                 [(bk,) for bk in live], "block_key long"
             )
             qmeta = qmeta.join(F.broadcast(live_keys), "block_key")
-    kernel = _make_kernel(k, k1, b, avgdl, span_bits, theta0)
+    kernel = _make_kernel(k, k1, b, avgdl, span_bits, theta0, codec=codec)
     candidates = qmeta.repartitionByRange(parts, "block_key").mapInPandas(
         kernel, schema="query_id string, doc_id long, score double"
     )

@@ -195,3 +195,52 @@ def test_resumable_staging_manifest_guard(spark, corpus, tmp_path):
     build_resumable(spark, corpus, str(out2), num_buckets=4, span_bits=SPAN)
     m2 = _json.loads((out2 / "staging_manifest.json").read_text())
     assert m2["num_buckets"] == 4
+
+
+def test_pfor_codec_end_to_end(spark, corpus):
+    """codec="pfor" (PForDelta blocks) is a drop-in for the varint default:
+    identical exploded postings, identical WAND top-k (both raw-shuffle and
+    segment-merge plans), and at least comparable compressed size on the
+    dense-doc-id corpus."""
+    idx = build_index(corpus)
+    n_docs, avgdl = idx.scalar_stats()
+    flat = set(map(tuple, idx.postings.collect()))
+    queries = {"q1": "the query spark", "q2": "data table"}
+    qdf = query_terms_df(spark, queries)
+    qidf = qdf.join(idx.term_stats.select("term", "idf"), "term")
+    blocks = build_blocked_postings(idx.postings, span_bits=SPAN)
+    want = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(
+            blocks, qidf, n_docs, avgdl, k=10, span_bits=SPAN
+        ).collect()
+    }
+    for raw in (True, False):
+        pblocks = build_blocked_postings(
+            idx.postings, span_bits=SPAN, raw_shuffle=raw, codec="pfor"
+        ).persist()
+        got_flat = set(
+            map(tuple, explode_blocks(pblocks, span_bits=SPAN, codec="pfor").collect())
+        )
+        assert got_flat == flat
+        got = {
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(
+                pblocks, qidf, n_docs, avgdl, k=10, span_bits=SPAN, codec="pfor"
+            ).collect()
+        }
+        assert got == want
+        pblocks.unpersist()
+
+
+def test_pfor_merge_segments_identity(spark, corpus):
+    idx = build_index(corpus)
+    left = idx.postings.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    right = idx.postings.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    seg = build_blocked_postings(left, SPAN, codec="pfor").unionByName(
+        build_blocked_postings(right, SPAN, codec="pfor")
+    )
+    merged = merge_segments(seg, SPAN, codec="pfor")
+    a = set(map(tuple, explode_blocks(merged, SPAN, codec="pfor").collect()))
+    b = set(map(tuple, idx.postings.collect()))
+    assert a == b
