@@ -96,6 +96,10 @@ _PRIORITY: list[str] = [
     "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
     "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
     "pfor_stats",           # PForDelta codec: encoder bytes vs closed-form
+    "dataset_splits",       # deterministic md5-bucket train/val/test
+    "contamination_overlap",  # benchmark decontamination (shingle overlap)
+    "pii_redacted",         # email scrub: count + redacted-text hash
+    "token_length_histogram",  # power-of-two sequence-length buckets
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",
@@ -120,8 +124,10 @@ def _ordered(merged: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+    from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
+        **EQCUR.registry(),
         **EQ.registry(),
         **EQO.registry(),
         **EQ3.registry(),
@@ -138,8 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+    from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
+        **EQCUR.ORACLES,
         **EQ.ORACLES,
         **EQO.ORACLES,
         **EQ3.ORACLES,

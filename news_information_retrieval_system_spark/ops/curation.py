@@ -1,0 +1,130 @@
+"""Training-data curation operators (LLM-pipeline face, round 4).
+
+Beyond the reference's own operator set: the operations a large-scale
+training-data pipeline runs over a 100 TB document corpus just before
+(or instead of) indexing it. All pure Column expressions — no Python in
+the hot path — and every plan is a single narrow pass or one broadcast
+join, so they compose with the dedup/quality ops at any scale.
+
+* ``split_col`` — deterministic train/val/test assignment by a portable
+  content-independent hash bucket (md5 hex prefix). The same record
+  lands in the same split on any cluster, any partitioning, any engine
+  (the DuckDB oracle recomputes it byte-for-byte) — the property that
+  makes dataset splits reproducible across pipeline re-runs.
+* ``benchmark_contamination`` — n-gram-overlap decontamination: count,
+  per candidate document, the distinct word k-grams it shares with a
+  (small) benchmark/holdout set. The benchmark shingle set is broadcast;
+  the corpus side is a narrow scan→explode→semi-join — no self-join, no
+  shuffle proportional to corpus×benchmark.
+* ``pii_email_redact`` — regex PII scrub (emails) with a match count per
+  document; one ``regexp_replace`` pass, RE2-compatible pattern so
+  independent engines agree.
+* ``token_length_buckets`` — power-of-two sequence-length histogram
+  (the packing/bucketing statistic a tokenizer-sharding step needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+from .dedup import shingles_df
+
+# RE2- and Java-regex-compatible (no backrefs, no lookaround): local part,
+# @, dotted domain, 2+ letter TLD. Lowercase classes only — the engine
+# normalizes text to lowercase before matching.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def split_col(id_col: Column | str = "doc_id", train: float = 0.8, val: float = 0.1) -> Column:
+    """Deterministic split label from a 256-bucket md5 prefix.
+
+    bucket = first hex byte of md5(cast(id as string)); the two split
+    boundaries are hex-string literals, so the comparison is a plain
+    lexicographic string compare that DuckDB/Spark/Python all agree on.
+    Content-independent (keyed on the stable doc_id), so re-crawling a
+    document never migrates it across splits.
+    """
+    if train < 0 or val < 0 or train + val > 1:
+        raise ValueError(f"invalid split fractions train={train} val={val}")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    n_train = int(round(train * 256))
+    n_val = int(round(val * 256))
+    b1 = format(n_train, "02x")
+    b2 = format(n_train + n_val, "02x")
+    bucket = F.substring(F.md5(col.cast("string")), 1, 2)
+    return (
+        F.when(bucket < b1, F.lit("train"))
+        .when(bucket < b2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def assign_splits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """docs + a ``split`` column (train/val/test)."""
+    return docs.withColumn("split", split_col(id_col, train, val))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_overlap): distinct word k-gram shingles each candidate
+    document shares with the benchmark set.
+
+    The benchmark side collapses to a DISTINCT shingle dictionary and is
+    broadcast (a benchmark suite is KBs–MBs against a 100 TB corpus), so
+    the corpus side never shuffles: scan → tokenize → explode → broadcast
+    semi-join → partial-agg count. Candidates already in ``bench`` are
+    the caller's business to exclude (they trivially self-overlap).
+    """
+    doc_sh = shingles_df(docs, text_col=text_col, id_col=id_col, k=k)
+    bench_sh = (
+        shingles_df(bench, text_col=text_col, id_col=id_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+
+
+def pii_email_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, redacted): email occurrences counted and
+    replaced with ``<EMAIL>`` in one JVM regex pass."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>").alias("redacted"),
+    )
+
+
+def token_length_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(bucket, n_docs, sum_tokens): power-of-two histogram of per-doc
+    token counts — bucket = floor(log2(n_tokens)), empty docs in bucket
+    -1. One narrow pass + a 64-row aggregate."""
+    n = F.size(tokens_col(text_col))
+    bucket = F.when(n > 0, F.floor(F.log2(n.cast("double")))).otherwise(F.lit(-1))
+    return (
+        docs.select(bucket.cast("long").alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )

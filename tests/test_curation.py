@@ -1,0 +1,93 @@
+"""Training-data curation ops (ops/curation.py): deterministic splits,
+benchmark decontamination, PII redaction, length histogram."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_information_retrieval_system_spark.ops.curation import (
+    assign_splits,
+    benchmark_contamination,
+    pii_email_redact,
+    split_col,
+    token_length_buckets,
+)
+
+
+def _expected_split(doc_id: int, b1: str = "cc", b2: str = "e6") -> str:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    return "train" if h < b1 else ("val" if h < b2 else "test")
+
+
+def test_split_assignment_matches_python_md5(mini_docs):
+    rows = assign_splits(mini_docs).select("doc_id", "split").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["split"] == _expected_split(r["doc_id"]), r
+
+
+def test_split_is_partitioning_invariant(spark):
+    """The same id gets the same split at any parallelism — the property
+    that makes splits reproducible across pipeline re-runs."""
+    ids = spark.range(0, 1000)
+    a = {r["id"]: r["s"] for r in ids.coalesce(1).select("id", split_col("id").alias("s")).collect()}
+    b = {r["id"]: r["s"] for r in ids.repartition(7).select("id", split_col("id").alias("s")).collect()}
+    assert a == b
+    # boundary sanity: ~80/10/10 within md5-uniformity tolerance
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 700 < n_train < 900
+
+
+def test_contamination_counts_distinct_shared_shingles(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma' and 'beta gamma delta' → 2
+            (0, "alpha beta gamma delta zeta"),
+            # repeats the same contaminated trigram — distinct ⇒ still 1
+            (1, "alpha beta gamma eta alpha beta gamma"),
+            (2, "no shared trigrams here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in benchmark_contamination(docs, bench, k=3).collect()
+    }
+    assert got == {0: 2, 1: 1}
+
+
+def test_pii_email_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "write to bob.smith+x@sub.example.com or alice@ex.org now"),
+            (1, "no addresses here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_email_redact(docs).collect()}
+    assert rows[0]["n_emails"] == 2
+    assert rows[0]["redacted"] == "write to <EMAIL> or <EMAIL> now"
+    assert rows[1]["n_emails"] == 0
+    assert rows[1]["redacted"] == "no addresses here"
+
+
+def test_token_length_buckets(spark):
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a b"), (2, "a b c"), (3, "a b c d"), (4, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: (r["n_docs"], r["sum_tokens"]) for r in token_length_buckets(docs).collect()}
+    # 1 token → bucket 0; 2-3 → 1; 4-7 → 2; 8 → 3
+    assert got == {0: (1, 1), 1: (2, 5), 2: (1, 4), 3: (1, 8)}
+
+
+def test_split_fractions_validate():
+    with pytest.raises(Exception):
+        # nonsensical fractions should fail fast, not mis-assign
+        split_col("doc_id", train=0.9, val=0.2)
