@@ -116,10 +116,12 @@ def token_length_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(bucket, n_docs, sum_tokens): power-of-two histogram of per-doc
-    token counts — bucket = floor(log2(n_tokens)), empty docs in bucket
+    token counts — bucket = floor(log2(n_tokens)) computed as bit-length
+    minus one (base-2 string conv, no float log2: libm rounding of
+    log2(2^k) must never move a bucket boundary), empty docs in bucket
     -1. One narrow pass + a 64-row aggregate."""
     n = F.size(tokens_col(text_col))
-    bucket = F.when(n > 0, F.floor(F.log2(n.cast("double")))).otherwise(F.lit(-1))
+    bucket = F.when(n > 0, F.length(F.conv(n, 10, 2)) - 1).otherwise(F.lit(-1))
     return (
         docs.select(bucket.cast("long").alias("bucket"), n.alias("n_tokens"))
         .groupBy("bucket")
