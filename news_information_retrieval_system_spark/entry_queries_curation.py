@@ -92,6 +92,18 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_buckets(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------------- BPE-ish counting
+def q_llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import llm_token_count_col, token_count_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_col(F.col("text")).cast("long").alias("n_ws_tokens"),
+        llm_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -150,6 +162,20 @@ SELECT cast(doc_id AS BIGINT) AS doc_id,
 FROM planted
 """
 
+ORACLES["llm_token_counts"] = r"""
+WITH p AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS pieces
+  FROM documents
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(n_ws AS BIGINT) AS n_ws_tokens,
+       cast(coalesce(list_aggregate(list_transform(pieces, x -> (length(x) + 3) // 4),
+                                    'sum'), 0) AS BIGINT) AS n_bpe_tokens
+FROM p
+"""
+
 ORACLES["token_length_histogram"] = f"""{_SQL_TOKS}
 SELECT cast(CASE WHEN len(l) > 0 THEN length(bin(len(l))) - 1 ELSE -1 END AS BIGINT) AS bucket,
        cast(count(*) AS BIGINT) AS n_docs,
@@ -164,4 +190,5 @@ def registry() -> dict:
         "contamination_overlap": q_contamination_overlap,
         "pii_redacted": q_pii_redacted,
         "token_length_histogram": q_token_length_histogram,
+        "llm_token_counts": q_llm_token_counts,
     }

@@ -27,6 +27,23 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs
+# (GPT-2-style pre-tokenization simplified to an RE2- and Java-compatible
+# alternation — no lookahead, so an independent engine can recompute it).
+_BPE_PIECES_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def llm_token_count_col(text: Column) -> Column:
+    """Approximate LLM (BPE) token count, fully deterministic: split into
+    pre-tokenizer pieces, then charge each piece ceil(len/4) tokens (the
+    ~4-chars-per-BPE-token heuristic) with pure integer arithmetic. The
+    counter a training-data pipeline uses for budget/packing estimates
+    before the real tokenizer runs."""
+    pieces = F.regexp_extract_all(F.lower(text), F.lit(_BPE_PIECES_RE), 0)
+    per_piece = F.transform(pieces, lambda p: F.floor((F.length(p) + 3) / 4))
+    return F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def lang_id_col(text: Column) -> Column:
     """n-gram/script heuristic: zh if CJK chars dominate, en if ASCII
     letters dominate and stopwords appear, else 'unk'."""

@@ -1,0 +1,201 @@
+"""Physical-plan audit: capture `.explain("formatted")` for the headline
+plans and ASSERT the scale-critical properties instead of eyeballing them.
+
+Checks, per plan (each one is a property that decides whether the plan
+survives a 100x scale-up):
+
+* scan pruning   — the parquet scan's ReadSchema carries only the columns
+                   the query projects (no full-width scan for a 2-column
+                   projection).
+* filter pushdown— metadata predicates reach the scan (PushedFilters
+                   non-empty) instead of running post-scan.
+* broadcast      — the small side of every dim join (query terms,
+                   benchmark shingles, centroids) is a BroadcastExchange,
+                   never a shuffled sort-merge join.
+* no cartesian   — no CartesianProduct / BroadcastNestedLoopJoin sneaks
+                   into a hot path (only the documented pairwise ops may
+                   cross-join).
+* narrow build   — the flat-postings build plan contains NO shuffle
+                   Exchange up to the postings rows (row-local histogram;
+                   the only exchanges allowed are the ones feeding the
+                   final stats aggregates).
+* codegen        — the scoring expression tree stays inside
+                   WholeStageCodegen spans (no per-row Python).
+
+Writes PLANS.md (the annotated explain dumps + verdict table) and exits
+non-zero if any assertion fails — run it per round like the oracle
+harness. Uses sf0.001 (plans don't change with data volume; AQE is on in
+the real session, so what matters is the static shape + exchange count).
+
+Usage: python3 scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from news_information_retrieval_system_spark.index.build import (  # noqa: E402
+    build_index,
+    flat_postings,
+    tokens_df,
+)
+from news_information_retrieval_system_spark.ops.curation import (  # noqa: E402
+    benchmark_contamination,
+)
+from news_information_retrieval_system_spark.query.bm25 import (  # noqa: E402
+    bm25_topk,
+    query_terms_df,
+)
+from news_information_retrieval_system_spark.session import get_spark  # noqa: E402
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit", cores=4, shuffle_partitions=4)
+    docs_path = f"{sf_dir}/documents.parquet"
+    events_path = f"{sf_dir}/events.parquet"
+
+    results: list[tuple[str, str, bool, str]] = []  # (plan, check, ok, note)
+    dumps: list[tuple[str, str]] = []
+
+    def check(plan: str, name: str, ok: bool, note: str) -> None:
+        results.append((plan, name, ok, note))
+
+    # ---------------------------------------------------------- build plan
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    fp = flat_postings(tokens_df(docs))
+    p = explain_str(fp)
+    dumps.append(("flat_postings (index build)", p))
+    check(
+        "flat_postings",
+        "narrow (no shuffle Exchange)",
+        "Exchange" not in p,
+        "row-local tf histogram — tokenize+count without repartitioning",
+    )
+    check(
+        "flat_postings",
+        "scan prunes to (doc_id, text)",
+        "ReadSchema: struct<doc_id:bigint,text:string>" in p,
+        "no full-width scan",
+    )
+
+    # ----------------------------------------------------------- bm25 plan
+    idx = build_index(docs).materialize()
+    q = query_terms_df(spark, {"q1": "fast table scan", "q2": "key value"})
+    top = bm25_topk(idx, q, k=10)
+    p = explain_str(top)
+    dumps.append(("bm25_topk (naive declarative plan)", p))
+    check(
+        "bm25_topk",
+        "query-term join broadcast",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "tiny query set must broadcast against postings",
+    )
+    check(
+        "bm25_topk",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "",
+    )
+    check(
+        "bm25_topk",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "partial top-k per partition BEFORE the exchange — the batch "
+        "analogue of TakeOrderedAndProject's heap+merge",
+    )
+    check(
+        "bm25_topk",
+        "scoring inside whole-stage codegen",
+        "codegen id" in p,
+        "no per-row Python in the scoring expression tree",
+    )
+
+    # ------------------------------------------- metadata filter pushdown
+    ev = (
+        spark.read.parquet(events_path)
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "user_id")
+    )
+    p = explain_str(ev)
+    dumps.append(("events filter (metadata predicate)", p))
+    check(
+        "events_filter",
+        "predicate pushed to scan",
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in p,
+        "",
+    )
+    check(
+        "events_filter",
+        "scan prunes to 2 columns",
+        # ReadSchema lists parquet file order — accept either ordering
+        ("ReadSchema: struct<user_id:bigint,event_type:string>" in p)
+        or ("ReadSchema: struct<event_type:string,user_id:bigint>" in p),
+        "",
+    )
+
+    # ------------------------------------------------- contamination plan
+    d = spark.read.parquet(docs_path).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    cands = d.filter(F.col("doc_id") % 97 != 0)
+    ov = benchmark_contamination(cands, bench, k=3)
+    p = explain_str(ov)
+    dumps.append(("benchmark_contamination", p))
+    check(
+        "contamination",
+        "benchmark dictionary broadcast",
+        "BroadcastExchange" in p,
+        "corpus side never shuffles for the join",
+    )
+    check(
+        "contamination",
+        "partial aggregation before exchange",
+        "partial_count" in p or "HashAggregate" in p,
+        "map-side combine on the overlap count",
+    )
+
+    spark.stop()
+
+    # ------------------------------------------------------------- report
+    lines = [
+        "# PLANS — audited physical plans for the headline operators",
+        "",
+        "Generated by `scripts/plan_audit.py` (exits non-zero on any FAIL;",
+        "re-run per round). Each check is a property the plan must keep for",
+        "the 100 TB scale story to hold — see the script docstring.",
+        "",
+        "| plan | check | verdict | why it matters |",
+        "|---|---|---|---|",
+    ]
+    n_fail = 0
+    for plan, name, ok, note in results:
+        v = "✅" if ok else "❌ FAIL"
+        n_fail += 0 if ok else 1
+        lines.append(f"| {plan} | {name} | {v} | {note} |")
+    lines.append("")
+    for title, dump in dumps:
+        lines += [f"## {title}", "", "```", dump.rstrip(), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(lines))
+    for plan, name, ok, note in results:
+        print(f"[{'OK' if ok else 'FAIL'}] {plan}: {name}")
+    print(f"\nwrote PLANS.md ({len(results)} checks, {n_fail} failures)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,6 +87,26 @@ def test_token_length_buckets(spark):
     assert got == {0: (1, 1), 1: (2, 5), 2: (1, 4), 3: (1, 8)}
 
 
+def test_llm_token_count_heuristic(spark):
+    from news_information_retrieval_system_spark.ops.textstats import llm_token_count_col
+
+    docs = spark.createDataFrame(
+        [
+            # pieces: "hello"(2) "world"(2) "!!"(1) → 5
+            (0, "Hello world!!"),
+            # "internationalization" len 20 → 5; "2024" → 1 → 6
+            (1, "internationalization 2024"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", llm_token_count_col(F.col("text")).alias("n")).collect()
+    }
+    assert got == {0: 5, 1: 6, 2: 0}
+
+
 def test_split_fractions_validate():
     with pytest.raises(Exception):
         # nonsensical fractions should fail fast, not mis-assign
