@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "pii_redacted",         # email scrub: count + redacted-text hash
     "token_length_histogram",  # power-of-two sequence-length buckets
     "llm_token_counts",     # BPE-ish regex token counter (portable)
+    "repetition_stats",     # Gopher-style duplicate/top-bigram signals
     # -- stalwart canaries (keep a core slice under continuous driver check)
     "bm25_topk",
     "wand_topk",

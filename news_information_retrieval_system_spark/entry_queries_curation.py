@@ -104,6 +104,21 @@ def q_llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- repetition
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.curation import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "distinct_bigrams",
+        "dup_bigram_n",
+        "top_bigram",
+        "top_bigram_n",
+    )
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -162,6 +177,30 @@ SELECT cast(doc_id AS BIGINT) AS doc_id,
 FROM planted
 """
 
+ORACLES["repetition_stats"] = f"""{_SQL_TOKS},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+  FROM tt WHERE len(l) >= 2
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram),
+agg AS (
+  SELECT doc_id, cast(sum(n) AS BIGINT) AS n_bigrams,
+         cast(count(*) AS BIGINT) AS distinct_bigrams
+  FROM cnt GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, cast(n AS BIGINT) AS top_bigram_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n DESC, bigram ASC) AS rk
+    FROM cnt) WHERE rk = 1
+)
+SELECT cast(agg.doc_id AS BIGINT) AS doc_id, n_bigrams, distinct_bigrams,
+       cast(n_bigrams - distinct_bigrams AS BIGINT) AS dup_bigram_n,
+       top_bigram, top_bigram_n
+FROM agg JOIN top USING (doc_id)
+"""
+
 ORACLES["llm_token_counts"] = r"""
 WITH p AS (
   SELECT doc_id,
@@ -191,4 +230,5 @@ def registry() -> dict:
         "pii_redacted": q_pii_redacted,
         "token_length_histogram": q_token_length_histogram,
         "llm_token_counts": q_llm_token_counts,
+        "repetition_stats": q_repetition_stats,
     }

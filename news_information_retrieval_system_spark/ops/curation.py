@@ -25,7 +25,7 @@ join, so they compose with the dedup/quality ops at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tokenize import tokens_col
@@ -109,6 +109,53 @@ def pii_email_redact(
         F.col(id_col).alias("doc_id"),
         F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>").alias("redacted"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (the duplicate-n-gram
+    family of quality filters): total vs distinct bigram counts (their
+    difference = repeated-bigram mass) and the most frequent bigram with
+    its count (ties broken by lexicographically smallest bigram, so the
+    result is deterministic). All integer-exact — consumers derive the
+    published ratios (dup fraction, top-bigram fraction) by division, and
+    an independent engine reproduces the counts bit-for-bit.
+
+    Plan: explode bigrams → one partial-agg groupBy(doc_id, bigram) →
+    per-doc rollup + per-doc top-1 window. Docs with < 2 tokens have no
+    bigrams and are absent from the output.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("distinct_bigrams"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bigram"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").cast("long").alias("top_bigram_n"),
+        )
+    )
+    return agg.join(top, "doc_id").withColumn(
+        "dup_bigram_n", (F.col("n_bigrams") - F.col("distinct_bigrams")).cast("long")
     )
 
 

@@ -169,6 +169,44 @@ def main() -> int:
         "map-side combine on the overlap count",
     )
 
+    # ------------------------------------------------------------ wand plan
+    from news_information_retrieval_system_spark.index.segments import (
+        build_blocked_postings,
+    )
+    from news_information_retrieval_system_spark.query.wand import wand_topk
+
+    blk = build_blocked_postings(idx.postings, term_dict=idx.term_stats)
+    qi = q.join(idx.term_stats.select("term", "idf"), "term")
+    n_docs, avgdl = idx.scalar_stats()
+    wt = wand_topk(blk, qi, n_docs, avgdl, k=10)
+    p = explain_str(wt)
+    dumps.append(("wand_topk (block-max DAAT kernel)", p))
+    check(
+        "wand_topk",
+        "kernel is Arrow-batched (MapInPandas)",
+        "MapInPandas" in p,
+        "block decode + DAAT scoring in vectorized batches, no per-row Python",
+    )
+    check(
+        "wand_topk",
+        "partial top-k around the merge exchange (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "per-partition heap before the k-way merge — partition-count-"
+        "independent merge volume",
+    )
+    check(
+        "wand_topk",
+        "query-side dims broadcast",
+        "BroadcastHashJoin" in p,
+        "",
+    )
+    check(
+        "wand_topk",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report

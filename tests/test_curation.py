@@ -87,6 +87,27 @@ def test_token_length_buckets(spark):
     assert got == {0: (1, 1), 1: (2, 5), 2: (1, 4), 3: (1, 8)}
 
 
+def test_repetition_stats(spark):
+    from news_information_retrieval_system_spark.ops.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a b"x3, "b a"x2 → 5 total, 2 distinct, 3 dup
+            (0, "a b a b a b"),
+            # "x y","y z" both once — top = lexicographically smallest
+            (1, "x y z"),
+            (2, "single"),  # <2 tokens → absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_bigrams"], rows[0]["distinct_bigrams"], rows[0]["dup_bigram_n"]) == (5, 2, 3)
+    assert (rows[0]["top_bigram"], rows[0]["top_bigram_n"]) == ("a b", 3)
+    assert (rows[1]["top_bigram"], rows[1]["top_bigram_n"]) == ("x y", 1)
+    assert rows[1]["dup_bigram_n"] == 0
+
+
 def test_llm_token_count_heuristic(spark):
     from news_information_retrieval_system_spark.ops.textstats import llm_token_count_col
 
