@@ -76,9 +76,6 @@ _PRIORITY: list[str] = [
     "term_clusters_editdist",
     "cooc_pairs",
     "term_clusters_cooc",
-    # -- green in r02 only (rotated out of the window in r03)
-    "lm_kl_topk",
-    "hybrid_combmnz_topk",
     # -- semantics changed in round 4: re-verify
     "rocchio_terms",        # γ negative-feedback term added
     "simhash_pairs",        # companion to simhash_exact_pairs
@@ -102,8 +99,14 @@ _PRIORITY: list[str] = [
     "token_length_histogram",  # power-of-two sequence-length buckets
     "llm_token_counts",     # BPE-ish regex token counter (portable)
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
-    # -- stalwart canaries (keep a core slice under continuous driver check)
+    # -- flagship canary: one long-green core entry stays in the window
     "bm25_topk",
+    # ---------------------------------------------------------------------
+    # everything below is past the driver's 50-entry window this round:
+    # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
+    # first to rotate back in once the round-4 additions have their rows
+    "lm_kl_topk",
+    "hybrid_combmnz_topk",
     "wand_topk",
     "tok_counts",
     "corpus_stats",
