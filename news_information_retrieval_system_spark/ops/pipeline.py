@@ -1,0 +1,127 @@
+"""End-to-end training-data curation pipeline: the composition a 100 TB
+corpus actually runs, built from the already-audited operators.
+
+    quality filter → exact dedup (keep-first) → near-dup dedup
+    (MinHash LSH → connected components, keep canonical) →
+    benchmark decontamination → PII redaction → split assignment
+
+Every stage is one of the individually oracle-checked ops (textstats,
+dedup, curation), so the pipeline adds composition + row accounting, not
+new semantics. Scale shape: each stage is a narrow pass, a broadcast
+join, or the banded LSH + label-propagation pair already audited for
+100 TB; the only driver-side data is the per-stage counts.
+
+Row accounting is exact and disjoint by construction (stages apply in
+order, each drop counted once):
+
+    n_input = n_low_quality + n_exact_dup + n_near_dup
+              + n_contaminated + n_kept
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .curation import (
+    assign_splits,
+    benchmark_contamination,
+    pii_email_redact,
+)
+from .dedup import content_hash_col, dup_components, minhash_lsh_pairs
+from .textstats import quality_features
+
+
+def curate_corpus(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    *,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    contamination_min_overlap: int = 5,
+    shingle_k: int = 3,
+    train: float = 0.8,
+    val: float = 0.1,
+    redact_pii: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation pipeline over ``docs`` (needs ``doc_id`` and
+    ``text`` columns; other columns pass through). Returns the curated
+    DataFrame (text redacted, ``split`` column added) and the per-stage
+    accounting dict. Counts force the stages, so the returned frame's
+    lineage is short (reads the last persisted stage)."""
+    stats: dict[str, int] = {}
+    cur = docs.persist()
+    stats["n_input"] = cur.count()
+
+    # 1. quality floor (JVM ratio features; one narrow pass)
+    qf = quality_features(cur)
+    keep_ids = qf.filter(F.col("quality_score") >= min_quality).select("doc_id")
+    nxt = cur.join(keep_ids, "doc_id").persist()
+    stats["n_low_quality"] = stats["n_input"] - nxt.count()
+    cur.unpersist()
+    cur = nxt
+
+    # 2. exact dedup, keep the smallest doc_id per content hash
+    w = Window.partitionBy("h").orderBy("doc_id")
+    nxt = (
+        cur.withColumn("h", content_hash_col(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("h", "rn")
+        .persist()
+    )
+    stats["n_exact_dup"] = stats["n_input"] - stats["n_low_quality"] - nxt.count()
+    cur.unpersist()
+    cur = nxt
+
+    # 3. near-dup: banded MinHash candidates, exact-Jaccard verify,
+    #    transitive closure via label propagation, keep the canonical
+    #    (min doc_id) member of each component
+    pairs = minhash_lsh_pairs(cur, k=shingle_k, threshold=jaccard_threshold)
+    comp = dup_components(pairs)
+    non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    nxt = cur.join(non_canonical, "doc_id", "left_anti").persist()
+    stats["n_near_dup"] = (
+        stats["n_input"] - stats["n_low_quality"] - stats["n_exact_dup"] - nxt.count()
+    )
+    comp.unpersist()
+    cur.unpersist()
+    cur = nxt
+
+    # 4. benchmark decontamination (broadcast shingle-overlap count)
+    if bench is not None:
+        ov = benchmark_contamination(cur, bench, k=shingle_k)
+        contaminated = ov.filter(
+            F.col("n_overlap") >= contamination_min_overlap
+        ).select("doc_id")
+        nxt = cur.join(contaminated, "doc_id", "left_anti").persist()
+        stats["n_contaminated"] = (
+            stats["n_input"]
+            - stats["n_low_quality"]
+            - stats["n_exact_dup"]
+            - stats["n_near_dup"]
+            - nxt.count()
+        )
+        cur.unpersist()
+        cur = nxt
+    else:
+        stats["n_contaminated"] = 0
+
+    # 5. PII scrub (one JVM regex pass, text replaced in place)
+    if redact_pii:
+        red = pii_email_redact(cur)
+        cur = (
+            cur.drop("text")
+            .join(red.select("doc_id", F.col("redacted").alias("text")), "doc_id")
+        )
+
+    # 6. deterministic split assignment
+    out = assign_splits(cur, train=train, val=val)
+    stats["n_kept"] = (
+        stats["n_input"]
+        - stats["n_low_quality"]
+        - stats["n_exact_dup"]
+        - stats["n_near_dup"]
+        - stats["n_contaminated"]
+    )
+    return out, stats

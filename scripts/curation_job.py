@@ -1,0 +1,59 @@
+"""spark-submit wrapper for the end-to-end curation pipeline.
+
+    python3 scripts/package_pyfiles.py
+    spark-submit --py-files dist/nirs_spark.zip scripts/curation_job.py \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated \
+        [--bench <benchmark.parquet>] [--report /tmp/curated/stats.json]
+
+Writes the curated corpus as parquet partitioned by ``split`` (so a
+trainer prunes to its split at scan time) and the per-stage row
+accounting as one JSON line — the lineage record a pipeline run leaves
+behind.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from news_information_retrieval_system_spark.ops.pipeline import curate_corpus  # noqa: E402
+from news_information_retrieval_system_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.5)
+    ap.add_argument("--contamination-min-overlap", type=int, default=5)
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark("curation-job", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    out, stats = curate_corpus(
+        docs,
+        bench,
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard_threshold,
+        contamination_min_overlap=args.contamination_min_overlap,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    line = json.dumps(stats)
+    if args.report:
+        Path(args.report).write_text(line + "\n")
+    print(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
