@@ -99,12 +99,12 @@ _PRIORITY: list[str] = [
     "token_length_histogram",  # power-of-two sequence-length buckets
     "llm_token_counts",     # BPE-ish regex token counter (portable)
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
-    # -- flagship canary: one long-green core entry stays in the window
-    "bm25_topk",
+    "split_leakage",        # cross-split exact-copy leak detector
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
+    "bm25_topk",
     "lm_kl_topk",
     "hybrid_combmnz_topk",
     "wand_topk",

@@ -119,6 +119,26 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- split leakage
+LEAK_MOD = 17
+LEAK_OFFSET = 100000
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-copy leak detector over a corpus with planted cross-id
+    duplicates (doc_id % 17 re-published under doc_id + 100000): because
+    split assignment is content-independent (keyed on doc_id), the copies
+    scatter across splits and must be flagged."""
+    from .ops.curation import split_leakage
+
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") % LEAK_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + LEAK_OFFSET
+    )
+    s = assign_splits(d.unionByName(dup))
+    return split_leakage(s)
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -177,6 +197,25 @@ SELECT cast(doc_id AS BIGINT) AS doc_id,
 FROM planted
 """
 
+ORACLES["split_leakage"] = f"""
+WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {LEAK_OFFSET}, text FROM documents WHERE doc_id % {LEAK_MOD} = 0
+),
+s AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM d2
+)
+SELECT content_hash, cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(DISTINCT split) AS BIGINT) AS n_splits,
+       cast(min(doc_id) AS BIGINT) AS min_doc
+FROM s GROUP BY content_hash HAVING count(DISTINCT split) > 1
+"""
+
 ORACLES["repetition_stats"] = f"""{_SQL_TOKS},
 bg AS (
   SELECT doc_id,
@@ -231,4 +270,5 @@ def registry() -> dict:
         "token_length_histogram": q_token_length_histogram,
         "llm_token_counts": q_llm_token_counts,
         "repetition_stats": q_repetition_stats,
+        "split_leakage": q_split_leakage,
     }

@@ -112,6 +112,33 @@ def pii_email_redact(
     )
 
 
+def split_leakage(
+    docs_with_split: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train/test contamination detector: content groups (by exact text
+    hash) that straddle more than one split. Any row here means the same
+    document text is visible to training AND evaluation — the leak the
+    dedup-before-split ordering exists to prevent. One hash + one
+    groupBy; run it as the final gate after split assignment.
+
+    → (content_hash, n_docs, n_splits, min_doc) for straddling groups.
+    """
+    return (
+        docs_with_split.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col("split"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

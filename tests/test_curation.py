@@ -87,6 +87,24 @@ def test_token_length_buckets(spark):
     assert got == {0: (1, 1), 1: (2, 5), 2: (1, 4), 3: (1, 8)}
 
 
+def test_split_leakage_detects_cross_split_copies(spark):
+    from news_information_retrieval_system_spark.ops.curation import split_leakage
+
+    # md5-bucket splits: 1→train, 3→test (straddling copy = leak);
+    # 2→train, 4→train (same-split copy = clean); 5 unique = clean
+    a, b = 1, 3
+    assert _expected_split(a) != _expected_split(b)
+    assert _expected_split(2) == _expected_split(4)
+    docs = spark.createDataFrame(
+        [(a, "same text"), (b, "same text"), (2, "other"), (4, "other"), (5, "solo")],
+        "doc_id long, text string",
+    )
+    leaks = split_leakage(assign_splits(docs)).collect()
+    flagged = {r["min_doc"]: r for r in leaks}
+    assert set(flagged) == {a}
+    assert flagged[a]["n_docs"] == 2 and flagged[a]["n_splits"] == 2
+
+
 def test_repetition_stats(spark):
     from news_information_retrieval_system_spark.ops.curation import repetition_stats
 
