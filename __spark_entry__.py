@@ -78,7 +78,6 @@ _PRIORITY: list[str] = [
     "term_clusters_cooc",
     # -- semantics changed in round 4: re-verify
     "rocchio_terms",        # γ negative-feedback term added
-    "simhash_pairs",        # companion to simhash_exact_pairs
     "jaccard_pairs",        # hot-shingle guard added (default off)
     # -- new round-4 entries
     "simhash_exact_pairs",  # full banded pair set vs exact Hamming oracle
@@ -100,6 +99,9 @@ _PRIORITY: list[str] = [
     "llm_token_counts",     # BPE-ish regex token counter (portable)
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
     "split_leakage",        # cross-split exact-copy leak detector
+    "curation_accounting",  # composed curate_corpus: per-stage counts
+    # (simhash_pairs rotated out — superseded in-window by the strictly
+    # stronger simhash_exact_pairs gate on the same code path)
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —

@@ -139,6 +139,63 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(s)
 
 
+# ------------------------------------------------- pipeline accounting
+# Derived pipeline corpus, all mod-class arithmetic on doc_id: bench docs
+# (doc_id % 97 == 0) are held out; doc_id % 31 == 2 becomes junk (fails
+# the quality floor); doc_id % 23 == 1 is re-published verbatim at
+# +200000 (exact dup); doc_id % 10 == 0 is re-published truncated to 80%
+# at +100000 (near dup). The pipeline runs in the LSH completeness
+# configuration (bands == num_hashes), so the DuckDB oracle re-derives
+# every stage from first principles (quality formula, md5 keep-first,
+# exact bigram Jaccard + recursive-CTE components, bench-bigram overlap)
+# and the per-stage drop counts must agree exactly.
+JUNK_MOD, COPY_MOD, NEAR_MOD = 31, 23, 10
+PIPE_MIN_QUALITY = 0.455  # off the 0.01 score grid — no boundary floats
+PIPE_MIN_OVERLAP = 25
+
+
+def _pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % BENCH_MOD != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % JUNK_MOD == 2, F.lit("zz")).otherwise(F.col("text")),
+    )
+    copies = base.filter(F.col("doc_id") % COPY_MOD == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    trunc = base.filter(F.col("doc_id") % NEAR_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.8) as int))").alias("text"),
+    )
+    return base.unionByName(copies).unionByName(trunc)
+
+
+def q_curation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the COMPOSED pipeline (ops/pipeline.py curate_corpus) and emit
+    its per-stage accounting as one row — the whole chain value-checked
+    end-to-end, not just its stages."""
+    from .ops.pipeline import curate_corpus
+
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % BENCH_MOD == 0)
+    _, stats = curate_corpus(
+        _pipeline_corpus(spark, sf_dir),
+        bench.select("doc_id", "text"),
+        min_quality=PIPE_MIN_QUALITY,
+        jaccard_threshold=0.5,
+        contamination_min_overlap=PIPE_MIN_OVERLAP,
+        shingle_k=2,
+        num_hashes=32,
+        bands=32,
+        redact_pii=False,  # redaction rewrites text, never drops rows
+    )
+    cols = ["n_input", "n_low_quality", "n_exact_dup", "n_near_dup",
+            "n_contaminated", "n_kept"]
+    return spark.createDataFrame(
+        [tuple(int(stats[c]) for c in cols)],
+        ", ".join(f"{c} long" for c in cols),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -261,6 +318,125 @@ SELECT cast(CASE WHEN len(l) > 0 THEN length(bin(len(l))) - 1 ELSE -1 END AS BIG
 FROM tt GROUP BY 1
 """
 
+# End-to-end pipeline accounting: DuckDB re-derives EVERY stage of
+# curate_corpus from first principles — quality formula, md5 keep-first,
+# exact bigram Jaccard + recursive-CTE connected components (valid
+# because rows-per-band=1 LSH verified output equals the exact set, cf.
+# the minhash_pairs oracle), and bench-bigram overlap. The simple bigram
+# expression (no 1-gram fallback for single-token docs) is exact here:
+# every quality survivor has ≥8 tokens at sf0.01 (junk docs score 0.44 <
+# 0.455 and are dropped before shingling).
+from .ops.textstats import EN_STOPWORDS as _SW  # noqa: E402
+
+_SW_IN = ", ".join(f"'{w}'" for w in _SW)
+
+ORACLES["curation_accounting"] = f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {JUNK_MOD} = 2 THEN 'zz' ELSE text END AS text
+  FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 200000, text FROM base WHERE doc_id % {COPY_MOD} = 1
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, cast(floor(length(text) * 0.8) AS INT))
+  FROM base WHERE doc_id % {NEAR_MOD} = 0
+),
+feat AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct,
+         length(text) AS n_chars
+  FROM corpus
+),
+q AS (
+  SELECT doc_id, text, l,
+    (least(len(l) / 20.0, 1.0) * 0.4
+     + greatest(1.0 - (punct * 1.0 / greatest(n_chars, 1)) * 5.0, 0.0) * 0.2
+     + CASE WHEN len(l) > 0
+                 AND list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) >= 2.5
+                 AND list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) <= 10.0
+            THEN 1.0 ELSE 0.5 END * 0.2
+     + CASE WHEN len(l) > 0
+                 AND len(list_filter(l, x -> x IN ({_SW_IN}))) * 1.0 / len(l) > 0.05
+                 AND len(list_filter(l, x -> x IN ({_SW_IN}))) * 1.0 / len(l) < 0.7
+            THEN 1.0 ELSE 0.6 END * 0.2) AS score
+  FROM feat
+),
+qkeep AS (SELECT doc_id, text, l FROM q WHERE score >= {PIPE_MIN_QUALITY}),
+ded AS (
+  SELECT doc_id, text, l FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qkeep
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS shingle
+    FROM ded
+  )
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT doc_a, doc_b FROM pr
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM tp
+  UNION ALL
+  SELECT doc_b, doc_a FROM tp
+),
+verts AS (SELECT DISTINCT s AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+nd AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) <> node
+),
+bsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS shingle
+    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM documents WHERE doc_id % {BENCH_MOD} = 0)
+  )
+),
+contam AS (
+  SELECT sh.doc_id FROM sh
+  JOIN bsh USING (shingle)
+  WHERE sh.doc_id NOT IN (SELECT doc_id FROM nd)
+  GROUP BY sh.doc_id
+  HAVING count(*) >= {PIPE_MIN_OVERLAP}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM corpus) AS n_input,
+         (SELECT count(*) FROM qkeep) AS n_q,
+         (SELECT count(*) FROM ded) AS n_d,
+         (SELECT count(*) FROM nd) AS n_near,
+         (SELECT count(*) FROM contam) AS n_cont
+)
+SELECT cast(n_input AS BIGINT) AS n_input,
+       cast(n_input - n_q AS BIGINT) AS n_low_quality,
+       cast(n_q - n_d AS BIGINT) AS n_exact_dup,
+       cast(n_near AS BIGINT) AS n_near_dup,
+       cast(n_cont AS BIGINT) AS n_contaminated,
+       cast(n_d - n_near - n_cont AS BIGINT) AS n_kept
+FROM counts
+"""
+
 
 def registry() -> dict:
     return {
@@ -271,4 +447,5 @@ def registry() -> dict:
         "llm_token_counts": q_llm_token_counts,
         "repetition_stats": q_repetition_stats,
         "split_leakage": q_split_leakage,
+        "curation_accounting": q_curation_accounting,
     }

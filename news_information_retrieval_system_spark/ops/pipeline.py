@@ -40,6 +40,8 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     contamination_min_overlap: int = 5,
     shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
     train: float = 0.8,
     val: float = 0.1,
     redact_pii: bool = True,
@@ -77,7 +79,17 @@ def curate_corpus(
     # 3. near-dup: banded MinHash candidates, exact-Jaccard verify,
     #    transitive closure via label propagation, keep the canonical
     #    (min doc_id) member of each component
-    pairs = minhash_lsh_pairs(cur, k=shingle_k, threshold=jaccard_threshold)
+    # default banding (16/4) bounds candidate volume at scale; the
+    # completeness configuration (bands == num_hashes, rows-per-band 1)
+    # makes the verified output equal the exact Jaccard set — used by the
+    # end-to-end accounting oracle
+    pairs = minhash_lsh_pairs(
+        cur,
+        k=shingle_k,
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
     comp = dup_components(pairs)
     non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     nxt = cur.join(non_canonical, "doc_id", "left_anti").persist()

@@ -51,6 +51,22 @@ def test_pipeline_accounting_and_output(corpus, bench):
     assert all(r["split"] in ("train", "val", "test") for r in rows.values())
 
 
+def test_pipeline_completeness_lsh_config(corpus, bench):
+    """bands == num_hashes (rows-per-band 1) is the configuration the
+    end-to-end accounting oracle runs — same drops as default banding."""
+    _, stats = curate_corpus(
+        corpus, bench, contamination_min_overlap=3, num_hashes=32, bands=32
+    )
+    assert stats == {
+        "n_input": 7,
+        "n_low_quality": 1,
+        "n_exact_dup": 1,
+        "n_near_dup": 1,
+        "n_contaminated": 1,
+        "n_kept": 3,
+    }
+
+
 def test_pipeline_without_bench(corpus):
     out, stats = curate_corpus(corpus, None)
     assert stats["n_contaminated"] == 0
