@@ -78,7 +78,6 @@ _PRIORITY: list[str] = [
     "term_clusters_cooc",
     # -- semantics changed in round 4: re-verify
     "rocchio_terms",        # γ negative-feedback term added
-    "jaccard_pairs",        # hot-shingle guard added (default off)
     # -- new round-4 entries
     "simhash_exact_pairs",  # full banded pair set vs exact Hamming oracle
     "model_unique_docs",    # Q27 unique-docs payload
@@ -92,16 +91,21 @@ _PRIORITY: list[str] = [
     "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
     "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
     "pfor_stats",           # PForDelta codec: encoder bytes vs closed-form
-    "dataset_splits",       # deterministic md5-bucket train/val/test
-    "contamination_overlap",  # benchmark decontamination (shingle overlap)
     "pii_redacted",         # email scrub: count + redacted-text hash
     "token_length_histogram",  # power-of-two sequence-length buckets
     "llm_token_counts",     # BPE-ish regex token counter (portable)
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
     "split_leakage",        # cross-split exact-copy leak detector
     "curation_accounting",  # composed curate_corpus: per-stage counts
-    # (simhash_pairs rotated out — superseded in-window by the strictly
-    # stronger simhash_exact_pairs gate on the same code path)
+    "packed_sequences",     # concat-and-chunk packing placement map
+    "packing_stats",        # packing rollup (spanning docs, last fill)
+    "stratified_sample",    # deterministic mixture downsampling
+    # rotated out of the window, each superseded by a strictly stronger
+    # in-window gate on the same code path: simhash_pairs (by
+    # simhash_exact_pairs), jaccard_pairs + contamination_overlap (both
+    # re-derived stage-by-stage inside curation_accounting's oracle),
+    # dataset_splits (split_col recomputed byte-for-byte by
+    # split_leakage's oracle)
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —

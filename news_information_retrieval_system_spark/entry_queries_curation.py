@@ -196,6 +196,48 @@ def q_curation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- sequence packing
+SEQ_LEN = 512
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing placement map at seq_len=512 —
+    num_ranges=5 forces the two-pass distributed cumsum (per-partition
+    totals + prefix offsets) to cross real partition boundaries."""
+    from .ops.curation import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN, num_ranges=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "start_token", "first_example", "last_example",
+        "n_examples_spanned",
+    )
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.curation import packing_stats
+
+    return packing_stats(_docs(spark, sf_dir), seq_len=SEQ_LEN)
+
+
+# ------------------------------------------------------ mixture sampling
+SAMPLE_RATES = {"en": 0.5, "fr": 0.25}
+SAMPLE_DEFAULT = 0.75
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.curation import hash_stratified_sample
+
+    out = hash_stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, key_col="lang",
+        default_rate=SAMPLE_DEFAULT,
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -438,6 +480,50 @@ FROM counts
 """
 
 
+_SQL_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) + 1 AS n
+  FROM documents
+),
+c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum FROM t)
+"""
+
+ORACLES["packed_sequences"] = f"""{_SQL_PACK}
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(n AS BIGINT) AS n_tokens,
+       cast(cum - n AS BIGINT) AS start_token,
+       cast((cum - n) // {SEQ_LEN} AS BIGINT) AS first_example,
+       cast((cum - 1) // {SEQ_LEN} AS BIGINT) AS last_example,
+       cast((cum - 1) // {SEQ_LEN} - (cum - n) // {SEQ_LEN} + 1 AS BIGINT)
+         AS n_examples_spanned
+FROM c
+"""
+
+ORACLES["packing_stats"] = f"""{_SQL_PACK}
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n) AS BIGINT) AS total_tokens,
+       cast((sum(n) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT) AS n_examples,
+       cast(count(*) FILTER (WHERE (cum - 1) // {SEQ_LEN} > (cum - n) // {SEQ_LEN})
+            AS BIGINT) AS n_docs_spanning,
+       cast(CASE WHEN sum(n) % {SEQ_LEN} = 0 THEN {SEQ_LEN}
+                 ELSE sum(n) % {SEQ_LEN} END AS BIGINT) AS last_fill
+FROM c
+"""
+
+_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40' ELSE 'c0' END"
+)
+
+ORACLES["stratified_sample"] = f"""
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+WHERE substr(md5('samp:' || cast(doc_id AS VARCHAR)), 1, 2) < {_RATE_CASE}
+GROUP BY lang
+"""
+
+
 def registry() -> dict:
     return {
         "dataset_splits": q_dataset_splits,
@@ -448,4 +534,7 @@ def registry() -> dict:
         "repetition_stats": q_repetition_stats,
         "split_leakage": q_split_leakage,
         "curation_accounting": q_curation_accounting,
+        "packed_sequences": q_packed_sequences,
+        "packing_stats": q_packing_stats,
+        "stratified_sample": q_stratified_sample,
     }

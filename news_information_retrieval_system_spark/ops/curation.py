@@ -21,6 +21,13 @@ join, so they compose with the dedup/quality ops at any scale.
   independent engines agree.
 * ``token_length_buckets`` — power-of-two sequence-length histogram
   (the packing/bucketing statistic a tokenizer-sharding step needs).
+* ``pack_sequences`` / ``packing_stats`` — concat-and-chunk context
+  packing: global token offsets via a TWO-PASS distributed cumsum
+  (range partition → per-partition totals to the driver → prefix
+  offset + per-partition window), never a single-partition window.
+* ``hash_stratified_sample`` — deterministic mixture-control
+  downsampling by salted md5 bucket of the stable id; quantized to
+  /256, reproducible on any engine.
 """
 
 from __future__ import annotations
@@ -37,6 +44,14 @@ from .dedup import shingles_df
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 
 
+def _hex_threshold(n_buckets: int) -> str:
+    """Upper-bound string for a `hex-byte bucket < threshold` compare.
+    256 buckets means keep-everything — but format(256,'02x') is '100',
+    which sorts BELOW '10'..'ff' lexicographically and would keep almost
+    nothing; 'zz' sorts above every hex pair instead."""
+    return "zz" if n_buckets >= 256 else format(n_buckets, "02x")
+
+
 def split_col(id_col: Column | str = "doc_id", train: float = 0.8, val: float = 0.1) -> Column:
     """Deterministic split label from a 256-bucket md5 prefix.
 
@@ -51,8 +66,8 @@ def split_col(id_col: Column | str = "doc_id", train: float = 0.8, val: float = 
     col = F.col(id_col) if isinstance(id_col, str) else id_col
     n_train = int(round(train * 256))
     n_val = int(round(val * 256))
-    b1 = format(n_train, "02x")
-    b2 = format(n_train + n_val, "02x")
+    b1 = _hex_threshold(n_train)
+    b2 = _hex_threshold(n_train + n_val)
     bucket = F.substring(F.md5(col.cast("string")), 1, 2)
     return (
         F.when(bucket < b1, F.lit("train"))
@@ -204,3 +219,141 @@ def token_length_buckets(
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk context packing: lay every document's tokens
+    (plus ``sep_tokens`` separator tokens, e.g. one EOS) end-to-end in
+    stable ``id_col`` order and cut fixed ``seq_len``-token training
+    examples. Returns the per-document placement map →
+    (doc_id, n_tokens, start_token, first_example, last_example,
+    n_examples_spanned) — what a pretraining dataloader shard needs to
+    materialize example i without scanning its neighbours.
+
+    Scale shape — the global running sum is TWO PASSES, never a
+    single-partition window: range-partition by id (one exchange), take
+    per-partition token totals to the driver (one row per partition,
+    bounded by the partition count, not the corpus), then add each
+    partition's prefix offset to a per-partition cumulative-sum window.
+    RangePartitioner assigns ascending key ranges to ascending partition
+    ids, so offset(p) = Σ totals of partitions < p is the exact global
+    prefix. The partitioned frame is localCheckpoint(eager)-ed first so
+    the totals job and the window job read the SAME materialized
+    boundaries (repartitionByRange re-samples per execution otherwise —
+    the docids.py boundary-drift lesson).
+
+    Integer arithmetic only: example ids use `div`, exact on int64 —
+    no float floor at 10^14-token offsets.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from .textstats import token_count_col
+
+    n = (token_count_col(F.col(text_col)) + F.lit(sep_tokens)).cast("long")
+    ranges = num_ranges or docs.sparkSession.sparkContext.defaultParallelism
+    p = (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("n_tokens"))
+        .repartitionByRange(ranges, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in p.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off_df = docs.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        p.join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("p_off") + F.sum("n_tokens").over(w))
+        .withColumn("start_token", F.col("cum") - F.col("n_tokens"))
+        .withColumn("first_example", F.expr(f"start_token div {seq_len}"))
+        .withColumn("last_example", F.expr(f"(cum - 1) div {seq_len}"))
+        .withColumn(
+            "n_examples_spanned",
+            (F.col("last_example") - F.col("first_example") + 1).cast("long"),
+        )
+        .select(
+            "doc_id", "n_tokens", "start_token",
+            "first_example", "last_example", "n_examples_spanned",
+        )
+    )
+    return out
+
+
+def packing_stats(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """One-row packing summary for a corpus at ``seq_len``:
+    (n_docs, total_tokens, n_examples, n_docs_spanning, last_fill) —
+    n_examples = ceil(total/seq_len); n_docs_spanning counts documents
+    cut by an example boundary (the attention-mask-reset workload);
+    last_fill = tokens in the final partial example."""
+    placed = pack_sequences(
+        docs, seq_len, text_col=text_col, id_col=id_col, sep_tokens=sep_tokens
+    )
+    return placed.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"(sum(n_tokens) + {seq_len} - 1) div {seq_len}")
+        .cast("long").alias("n_examples"),
+        F.sum((F.col("n_examples_spanned") > 1).cast("long"))
+        .cast("long").alias("n_docs_spanning"),
+        F.expr(f"case when sum(n_tokens) % {seq_len} = 0 then {seq_len} "
+               f"else sum(n_tokens) % {seq_len} end")
+        .cast("long").alias("last_fill"),
+    )
+
+
+def hash_stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic mixture-control downsampling: keep each row with
+    probability ``rates[key]`` (``default_rate`` for unlisted keys),
+    decided by a salted 256-bucket md5 hash of the stable id — the same
+    row survives on any cluster/partitioning/engine, and re-runs are
+    reproducible. The ``salt`` decorrelates the decision from the
+    split_col bucket (both hash the id). Rates are quantized to /256
+    buckets — exactly reproducible, documented granularity.
+
+    One narrow pass, no shuffle: the op a pipeline uses to hit a target
+    domain/language mixture before packing.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate out of [0,1] for {k!r}: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 2
+    )
+    thr = F.lit(_hex_threshold(int(round(default_rate * 256))))
+    for k, r in rates.items():
+        thr = F.when(
+            F.col(key_col) == k, _hex_threshold(int(round(r * 256)))
+        ).otherwise(thr)
+    return docs.filter(bucket < thr)

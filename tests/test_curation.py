@@ -150,3 +150,76 @@ def test_split_fractions_validate():
     with pytest.raises(Exception):
         # nonsensical fractions should fail fast, not mis-assign
         split_col("doc_id", train=0.9, val=0.2)
+
+
+def test_pack_sequences_placement(spark):
+    from news_information_retrieval_system_spark.ops.curation import pack_sequences
+
+    # token counts (+1 sep): 3, 5, 2, 4 → starts 0, 3, 8, 10; seq_len=4
+    docs = spark.createDataFrame(
+        [(10, "a b"), (20, "c d e f"), (30, "g"), (40, "h i j")],
+        "doc_id long, text string",
+    )
+    # num_ranges=3 forces the prefix-offset path across real partitions
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, seq_len=4, num_ranges=3).collect()
+    }
+    expect = {
+        10: (3, 0, 0, 0, 1),   # tokens 0-2   → example 0
+        20: (5, 3, 0, 1, 2),   # tokens 3-7   → spans examples 0-1
+        30: (2, 8, 2, 2, 1),   # tokens 8-9   → example 2
+        40: (4, 10, 2, 3, 2),  # tokens 10-13 → spans examples 2-3
+    }
+    for did, (n, st, fe, le, sp) in expect.items():
+        r = rows[did]
+        assert (
+            r["n_tokens"], r["start_token"], r["first_example"],
+            r["last_example"], r["n_examples_spanned"],
+        ) == (n, st, fe, le, sp)
+
+
+def test_packing_stats_rollup(spark):
+    from news_information_retrieval_system_spark.ops.curation import packing_stats
+
+    docs = spark.createDataFrame(
+        [(10, "a b"), (20, "c d e f"), (30, "g"), (40, "h i j")],
+        "doc_id long, text string",
+    )
+    row = packing_stats(docs, seq_len=4).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["total_tokens"] == 14
+    assert row["n_examples"] == 4      # ceil(14/4)
+    assert row["n_docs_spanning"] == 2  # docs 20 and 40
+    assert row["last_fill"] == 2        # 14 % 4
+
+
+def test_hash_stratified_sample_edges(spark):
+    from news_information_retrieval_system_spark.ops.curation import (
+        hash_stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(64)],
+        "doc_id long, text string, lang string",
+    )
+    # rate 1.0 keeps EVERY row (the format(256,'02x')='100' trap)
+    assert hash_stratified_sample(docs, {"en": 1.0}, default_rate=1.0).count() == 64
+    # rate 0.0 drops the listed class entirely, default keeps the rest
+    out = hash_stratified_sample(docs, {"en": 0.0}, default_rate=1.0)
+    assert out.filter(F.col("lang") == "en").count() == 0
+    assert out.count() == 32
+    # deterministic: same call twice → identical surviving ids
+    a = sorted(r["doc_id"] for r in hash_stratified_sample(
+        docs, {"en": 0.5}, default_rate=0.25).collect())
+    b = sorted(r["doc_id"] for r in hash_stratified_sample(
+        docs, {"en": 0.5}, default_rate=0.25).collect())
+    assert a == b
+
+
+def test_split_col_full_train(spark):
+    from news_information_retrieval_system_spark.ops.curation import assign_splits
+
+    docs = spark.createDataFrame([(i, "t") for i in range(64)], "doc_id long, text string")
+    got = assign_splits(docs, train=1.0, val=0.0).groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in got} == {"train": 64}
