@@ -238,19 +238,25 @@ def pack_sequences(
     materialize example i without scanning its neighbours.
 
     Scale shape — the global running sum is TWO PASSES, never a
-    single-partition window: range-partition by id (one exchange), take
-    per-partition token totals to the driver (one row per partition,
-    bounded by the partition count, not the corpus), then add each
-    partition's prefix offset to a per-partition cumulative-sum window.
-    RangePartitioner assigns ascending key ranges to ascending partition
-    ids, so offset(p) = Σ totals of partitions < p is the exact global
-    prefix. The partitioned frame is localCheckpoint(eager)-ed first so
-    the totals job and the window job read the SAME materialized
+    single-partition window: range-partition + sort by id (ONE
+    exchange), take per-partition token totals to the driver (one row
+    per partition, bounded by the partition count, not the corpus),
+    then a NARROW Arrow-batched cumulative-sum pass that seeds each
+    partition with its prefix offset. RangePartitioner assigns
+    ascending key ranges to ascending partition ids, so offset(p) =
+    Σ totals of partitions < p is the exact global prefix. The
+    alternative — a window over spark_partition_id() — would cost a
+    SECOND full-table exchange (Catalyst can't know each partition
+    already holds exactly one pid), ~24 bytes × corpus rows of extra
+    shuffle at 10^12 turns; the mapInPandas pass is shuffle-free and
+    vectorized (numpy cumsum per batch, a scalar carried across
+    batches). The partitioned frame is localCheckpoint(eager)-ed first
+    so the totals job and the cumsum job read the SAME materialized
     boundaries (repartitionByRange re-samples per execution otherwise —
     the docids.py boundary-drift lesson).
 
-    Integer arithmetic only: example ids use `div`, exact on int64 —
-    no float floor at 10^14-token offsets.
+    Integer arithmetic only: int64 throughout, floor-division for
+    example ids — no float floor at 10^14-token offsets.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -261,6 +267,7 @@ def pack_sequences(
     p = (
         docs.select(F.col(id_col).alias("doc_id"), n.alias("n_tokens"))
         .repartitionByRange(ranges, "doc_id")
+        .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -272,28 +279,39 @@ def pack_sequences(
     for pid, tot in totals:
         offsets[pid] = acc
         acc += tot
-    off_df = docs.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
+
+    def cumsum_place(batches):
+        import numpy as np
+        import pandas as pd
+
+        run = None  # tokens laid down before this row, within + before pid
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if run is None:
+                run = offsets[int(b["pid"].iloc[0])]
+            nn = b["n_tokens"].to_numpy(dtype="int64")
+            cum = run + np.cumsum(nn)
+            run = int(cum[-1])
+            start = cum - nn
+            first = start // seq_len
+            last = (cum - 1) // seq_len
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(dtype="int64"),
+                    "n_tokens": nn,
+                    "start_token": start,
+                    "first_example": first,
+                    "last_example": last,
+                    "n_examples_spanned": last - first + 1,
+                }
+            )
+
+    schema = (
+        "doc_id long, n_tokens long, start_token long, "
+        "first_example long, last_example long, n_examples_spanned long"
     )
-    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    out = (
-        p.join(F.broadcast(off_df), "pid")
-        .withColumn("cum", F.col("p_off") + F.sum("n_tokens").over(w))
-        .withColumn("start_token", F.col("cum") - F.col("n_tokens"))
-        .withColumn("first_example", F.expr(f"start_token div {seq_len}"))
-        .withColumn("last_example", F.expr(f"(cum - 1) div {seq_len}"))
-        .withColumn(
-            "n_examples_spanned",
-            (F.col("last_example") - F.col("first_example") + 1).cast("long"),
-        )
-        .select(
-            "doc_id", "n_tokens", "start_token",
-            "first_example", "last_example", "n_examples_spanned",
-        )
-    )
-    return out
+    return p.mapInPandas(cumsum_place, schema)
 
 
 def packing_stats(

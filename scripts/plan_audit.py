@@ -207,6 +207,30 @@ def main() -> int:
         "",
     )
 
+    # -------------------------------------------------- sequence packing
+    from news_information_retrieval_system_spark.ops.curation import (
+        pack_sequences,
+    )
+
+    placed = pack_sequences(
+        spark.read.parquet(docs_path), seq_len=512, num_ranges=4
+    )
+    p = explain_str(placed)
+    dumps.append(("pack_sequences (placement pass after range exchange)", p))
+    check(
+        "pack_sequences",
+        "cumsum pass is shuffle-free (no Exchange after checkpoint)",
+        "Exchange" not in p,
+        "global offsets come from a P-row driver aggregate, not a second "
+        "full-table exchange (the window-over-partition-id alternative)",
+    )
+    check(
+        "pack_sequences",
+        "cumsum pass is Arrow-batched (MapInPandas)",
+        "MapInPandas" in p,
+        "vectorized numpy cumsum per batch, scalar carry across batches",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
