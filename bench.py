@@ -183,6 +183,26 @@ def main() -> None:
     timed("docs_bm25", lambda: EQ.q_bm25_topk(spark, sf_dir).count())
 
     total = round(sum(times.values()), 3)
+
+    # ------------- curation face (reported separately: NOT part of the
+    # headline value/queries keys, so cross-round suite comparisons and
+    # the north-rule metric stay apples-to-apples)
+    from news_information_retrieval_system_spark.ops.curation import pack_sequences
+    from news_information_retrieval_system_spark.ops.pipeline import curate_corpus
+
+    ctimes: dict[str, float] = {}
+    t0 = time.time()
+    n_placed = pack_sequences(docs, seq_len=2048).count()
+    ctimes["pack"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _, cstats = curate_corpus(docs, None, redact_pii=True)
+    ctimes["curate"] = round(time.time() - t0, 3)
+    curation = {
+        "times": ctimes,
+        "pack_turns_per_sec": round(n_placed / ctimes["pack"], 1),
+        "curate_turns_per_sec": round(n_turns / ctimes["curate"], 1),
+        "curate_stats": cstats,
+    }
     build_sec = times["build_flat"] + times["build_blocked"]
     result = {
         "metric": "index_build_plus_query_suite_wall_sec",
@@ -209,6 +229,7 @@ def main() -> None:
         "qps_docpart_256": round(N_SMALL / times["bm25_docpart"], 2),
         "qps_wand": round(N_QUERIES / times["wand_batch_1024"], 2),
         "qps_wand_256": round(N_SMALL / times["wand_batch"], 2),
+        "curation": curation,
     }
     spark.stop()
     print(json.dumps(result))
