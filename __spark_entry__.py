@@ -98,8 +98,10 @@ _PRIORITY: list[str] = [
     "split_leakage",        # cross-split exact-copy leak detector
     "curation_accounting",  # composed curate_corpus: per-stage counts
     "packed_sequences",     # concat-and-chunk packing placement map
-    "packing_stats",        # packing rollup (spanning docs, last fill)
     "stratified_sample",    # deterministic mixture downsampling
+    "ppx_quality",          # CCNet-style bigram-LM perplexity flags
+    # (packing_stats sits just past the window — it is an aggregate over
+    # packed_sequences' in-window placement map, same code path)
     # rotated out of the window, each superseded by a strictly stronger
     # in-window gate on the same code path: simhash_pairs (by
     # simhash_exact_pairs), jaccard_pairs + contamination_overlap (both
@@ -108,6 +110,7 @@ _PRIORITY: list[str] = [
     # split_leakage's oracle)
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
+    "packing_stats",        # aggregate over packed_sequences (in-window)
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

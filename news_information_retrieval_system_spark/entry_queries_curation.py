@@ -238,6 +238,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- LM perplexity filter
+PPX_TRAIN_MOD = 4   # LM trained on doc_id % 4 != 0 (held-in slice)
+PPX_MAX = 31.0      # flags the high-ppx tail (p90 ≈ 31.35 at sf0.01)
+
+
+def q_ppx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: bigram add-1 LM trained on the
+    doc_id%4!=0 slice, every document scored, high-perplexity tail
+    flagged. Flag compares the 5dp fixed-point value so both engines
+    agree bit-for-bit whenever the rounded perplexity matches."""
+    from .ops.curation import perplexity_flags
+
+    d = _docs(spark, sf_dir)
+    out = perplexity_flags(
+        d, PPX_MAX, lm_train=d.filter(F.col("doc_id") % PPX_TRAIN_MOD != 0),
+        n=2, add_k=1.0,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        F.round(F.col("perplexity") * 100000).cast("long").alias("ppx_5dp"),
+        "flagged",
+    )
+
+
 # ---------------------------------------------------------------- oracles
 _SQL_TOKS = """
 WITH tt AS (
@@ -511,6 +536,42 @@ SELECT cast(count(*) AS BIGINT) AS n_docs,
 FROM c
 """
 
+ORACLES["ppx_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest(tl[1:len(tl)-1]) AS ctx, unnest(tl[2:len(tl)]) AS w
+  FROM toks WHERE len(tl) >= 2
+),
+train AS (
+  SELECT ctx, w, count(*) AS c_ng FROM tg
+  WHERE doc_id % {PPX_TRAIN_MOD} <> 0 GROUP BY ctx, w
+),
+ctxc AS (SELECT ctx, sum(c_ng) AS c_ctx FROM train GROUP BY ctx),
+vocab AS (SELECT cast(count(DISTINCT t.term) AS DOUBLE) AS v
+          FROM (SELECT unnest(tl) AS term FROM toks
+                WHERE doc_id % {PPX_TRAIN_MOD} <> 0) t),
+scored AS (
+  SELECT tg.doc_id,
+         ln((coalesce(train.c_ng, 0) + 1.0) /
+            (coalesce(ctxc.c_ctx, 0) + 1.0 * vocab.v)) AS logp
+  FROM tg
+  LEFT JOIN train ON train.ctx = tg.ctx AND train.w = tg.w
+  LEFT JOIN ctxc ON ctxc.ctx = tg.ctx
+  CROSS JOIN vocab
+),
+p AS (
+  SELECT doc_id, count(*) AS n_grams,
+         cast(round(exp(-sum(logp) / count(*)) * 100000) AS BIGINT) AS ppx_5dp
+  FROM scored GROUP BY doc_id
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id, cast(n_grams AS BIGINT) AS n_grams,
+       ppx_5dp, ppx_5dp > {int(round(PPX_MAX * 100000))} AS flagged
+FROM p
+"""
+
 _RATE_CASE = (
     "CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40' ELSE 'c0' END"
 )
@@ -537,4 +598,5 @@ def registry() -> dict:
         "packed_sequences": q_packed_sequences,
         "packing_stats": q_packing_stats,
         "stratified_sample": q_stratified_sample,
+        "ppx_quality": q_ppx_quality,
     }

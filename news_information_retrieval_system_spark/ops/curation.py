@@ -375,3 +375,44 @@ def hash_stratified_sample(
             F.col(key_col) == k, _hex_threshold(int(round(r * 256)))
         ).otherwise(thr)
     return docs.filter(bucket < thr)
+
+
+def perplexity_flags(
+    docs: DataFrame,
+    max_perplexity: float,
+    lm_train: DataFrame | None = None,
+    n: int = 2,
+    add_k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality signal: score every document's perplexity
+    under an add-k n-gram LM trained on ``lm_train`` (default: the corpus
+    itself) and flag documents above ``max_perplexity`` — the
+    out-of-distribution tail a curation pipeline drops or down-weights.
+
+    → (doc_id, n_grams, perplexity, flagged). The threshold compare uses
+    the 5-decimal fixed-point value, so two engines that agree on the
+    rounded perplexity agree on the flag (no raw-double boundary drift).
+
+    Scale shape is ngram_lm_logprob's: ONE training aggregation (context
+    marginal reuses the n-gram shuffle via ReuseExchange), eval side
+    joins on (ctx, w) — both sides token-shaped, no corpus self-join.
+    """
+    from .collocation import ngram_lm_logprob
+
+    train = lm_train if lm_train is not None else docs
+    scored = ngram_lm_logprob(
+        train, docs, n=n, add_k=add_k
+    ) if (text_col, id_col) == ("text", "doc_id") else ngram_lm_logprob(
+        train.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        n=n, add_k=add_k,
+    )
+    ppx5 = F.round(F.col("perplexity") * 100000).cast("long")
+    return scored.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("perplexity").alias("perplexity"),
+        (ppx5 > int(round(max_perplexity * 100000))).alias("flagged"),
+    )

@@ -223,3 +223,35 @@ def test_split_col_full_train(spark):
     docs = spark.createDataFrame([(i, "t") for i in range(64)], "doc_id long, text string")
     got = assign_splits(docs, train=1.0, val=0.0).groupBy("split").count().collect()
     assert {r["split"]: r["count"] for r in got} == {"train": 64}
+
+
+def test_perplexity_flags(spark):
+    from news_information_retrieval_system_spark.ops.curation import perplexity_flags
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # in-distribution → low ppx
+            (1, "zebra quartz flux joke"),   # all-unseen → ppx == vocab
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perplexity_flags(docs, 6.5, lm_train=train, n=2).collect()
+    }
+    # vocab = {the,cat,sat,on,mat} = 5; unseen bigram p = 1/5 → ppx 5.0
+    assert abs(rows[1]["perplexity"] - 5.0) < 1e-9
+    assert rows[1]["flagged"] is False
+    # exp((2·ln(13/5) + 3·ln(9/5)) / 5) ≈ 2.0852 under add-1 smoothing
+    assert abs(rows[0]["perplexity"] - 2.0852246) < 1e-6
+    assert rows[0]["flagged"] is False
+    # tight threshold flags the OOD doc only
+    rows2 = {
+        r["doc_id"]: r["flagged"]
+        for r in perplexity_flags(docs, 4.0, lm_train=train, n=2).collect()
+    }
+    assert rows2 == {0: False, 1: True}
