@@ -186,23 +186,28 @@ def main() -> None:
 
     # ------------- curation face (reported separately: NOT part of the
     # headline value/queries keys, so cross-round suite comparisons and
-    # the north-rule metric stay apples-to-apples)
-    from news_information_retrieval_system_spark.ops.curation import pack_sequences
-    from news_information_retrieval_system_spark.ops.pipeline import curate_corpus
+    # the north-rule metric stay apples-to-apples). SPARK_GRAFT_CURATION=0
+    # skips it — scaling runs measure the north-rule phases only (the
+    # full pipeline at 4M turns on 2 pinned cores would dominate their
+    # wall budget); scripts/scaling_pack.py covers packing scaling.
+    curation: dict = {}
+    if os.environ.get("SPARK_GRAFT_CURATION", "1") != "0":
+        from news_information_retrieval_system_spark.ops.curation import pack_sequences
+        from news_information_retrieval_system_spark.ops.pipeline import curate_corpus
 
-    ctimes: dict[str, float] = {}
-    t0 = time.time()
-    n_placed = pack_sequences(docs, seq_len=2048).count()
-    ctimes["pack"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _, cstats = curate_corpus(docs, None, redact_pii=True)
-    ctimes["curate"] = round(time.time() - t0, 3)
-    curation = {
-        "times": ctimes,
-        "pack_turns_per_sec": round(n_placed / ctimes["pack"], 1),
-        "curate_turns_per_sec": round(n_turns / ctimes["curate"], 1),
-        "curate_stats": cstats,
-    }
+        ctimes: dict[str, float] = {}
+        t0 = time.time()
+        n_placed = pack_sequences(docs, seq_len=2048).count()
+        ctimes["pack"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _, cstats = curate_corpus(docs, None, redact_pii=True)
+        ctimes["curate"] = round(time.time() - t0, 3)
+        curation = {
+            "times": ctimes,
+            "pack_turns_per_sec": round(n_placed / ctimes["pack"], 1),
+            "curate_turns_per_sec": round(n_turns / ctimes["curate"], 1),
+            "curate_stats": cstats,
+        }
     build_sec = times["build_flat"] + times["build_blocked"]
     result = {
         "metric": "index_build_plus_query_suite_wall_sec",

@@ -48,6 +48,10 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SHUFFLE_PARTITIONS=os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"
         ),
+        # north-rule phases only: the curation face has its own scaling
+        # script (scripts/scaling_pack.py) and would dominate pinned
+        # low-core wall budget here
+        SPARK_GRAFT_CURATION="0",
     )
     cmd = [sys.executable, str(REPO / "bench.py")]
     pin = ["taskset", "-c", f"0-{cores - 1}"]
