@@ -60,6 +60,33 @@ def lang_id_col(text: Column) -> Column:
     )
 
 
+def quality_score_col(t: Column) -> Column:
+    """The quality heuristic as a single row-local Column expression —
+    reusable anywhere a plain filter predicate is needed (notably the
+    stateless streaming curation pass, where a separate features frame
+    can't be joined back). Bit-identical to quality_features' score."""
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    sw = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in EN_STOPWORDS]))
+    )
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+    wordlen_score = F.when((avg_tok >= 2.5) & (avg_tok <= 10.0), 1.0).otherwise(0.5)
+    sw_score = F.when((sw_ratio > 0.05) & (sw_ratio < 0.7), 1.0).otherwise(0.6)
+    return (
+        length_score * 0.4 + punct_score * 0.2 + wordlen_score * 0.2 + sw_score * 0.2
+    )
+
+
 def quality_features(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -80,12 +107,8 @@ def quality_features(
     sw_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     # heuristic: long enough, low punctuation noise, word lengths sane,
-    # some-but-not-all stopwords
-    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-    punct_score = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
-    wordlen_score = F.when((avg_tok >= 2.5) & (avg_tok <= 10.0), 1.0).otherwise(0.5)
-    sw_score = F.when((sw_ratio > 0.05) & (sw_ratio < 0.7), 1.0).otherwise(0.6)
-    quality = (length_score * 0.4 + punct_score * 0.2 + wordlen_score * 0.2 + sw_score * 0.2)
+    # some-but-not-all stopwords — composed in quality_score_col
+    quality = quality_score_col(t)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
