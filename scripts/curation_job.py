@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)
     ap.add_argument("--contamination-min-overlap", type=int, default=5)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--pack-seq-len", type=int, default=None,
+        help="also write the train split's packing placement map "
+             "(concat-and-chunk at this example length) to "
+             "<output>_packed",
+    )
     args = ap.parse_args()
 
     spark = get_spark("curation-job", cores=args.cores)
@@ -48,6 +54,17 @@ def main() -> None:
         contamination_min_overlap=args.contamination_min_overlap,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    if args.pack_seq_len:
+        from pyspark.sql import functions as F
+
+        from news_information_retrieval_system_spark.ops.curation import (
+            pack_sequences,
+        )
+
+        train = spark.read.parquet(args.output).filter(F.col("split") == "train")
+        placed = pack_sequences(train, seq_len=args.pack_seq_len)
+        placed.write.mode("overwrite").parquet(args.output + "_packed")
+        stats["n_packed_docs"] = placed.count()
     line = json.dumps(stats)
     if args.report:
         Path(args.report).write_text(line + "\n")

@@ -255,3 +255,32 @@ def test_perplexity_flags(spark):
         for r in perplexity_flags(docs, 4.0, lm_train=train, n=2).collect()
     }
     assert rows2 == {0: False, 1: True}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 97])
+def test_pack_sequences_randomized_vs_python(spark, seed):
+    """Placement map equals a pure-Python reference on random corpora
+    (random token counts incl. empty docs, random seq_len, forced
+    multi-partition prefix-offset path)."""
+    import random
+
+    from news_information_retrieval_system_spark.ops.curation import pack_sequences
+
+    rng = random.Random(seed)
+    seq_len = rng.choice([3, 8, 17, 64])
+    rows = [(i * 10, " ".join(["w"] * rng.randrange(0, 30))) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_token"], r["first_example"],
+            r["last_example"], r["n_examples_spanned"],
+        )
+        for r in pack_sequences(docs, seq_len=seq_len, num_ranges=7).collect()
+    }
+    acc, want = 0, {}
+    for did, text in rows:  # already in doc_id order
+        n = len([t for t in text.split(" ") if t]) + 1
+        first, last = acc // seq_len, (acc + n - 1) // seq_len
+        want[did] = (n, acc, first, last, last - first + 1)
+        acc += n
+    assert got == want
