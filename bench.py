@@ -129,6 +129,20 @@ def main() -> None:
     wn, wavg = widx.scalar_stats()
     wqi = wq.join(widx.term_stats.select("term", "idf"), "term")
     wand_topk(wblk, wqi, wn, wavg, k=10).count()
+    measure_curation = os.environ.get("SPARK_GRAFT_CURATION", "1") != "0"
+    if measure_curation:
+        # curation-path warmup: its expression trees (quality heuristic,
+        # minhash aggregates) carry their own codegen/JIT first-run cost
+        # — measured 88 s cold vs 8 s warm at 200k turns
+        from news_information_retrieval_system_spark.ops.curation import (
+            pack_sequences,
+        )
+        from news_information_retrieval_system_spark.ops.pipeline import (
+            curate_corpus,
+        )
+
+        pack_sequences(wdocs, seq_len=2048).count()
+        curate_corpus(wdocs, None, redact_pii=True)
     for df in (wblk, wq):
         df.unpersist()
     widx.unpersist()
@@ -191,10 +205,7 @@ def main() -> None:
     # full pipeline at 4M turns on 2 pinned cores would dominate their
     # wall budget); scripts/scaling_pack.py covers packing scaling.
     curation: dict = {}
-    if os.environ.get("SPARK_GRAFT_CURATION", "1") != "0":
-        from news_information_retrieval_system_spark.ops.curation import pack_sequences
-        from news_information_retrieval_system_spark.ops.pipeline import curate_corpus
-
+    if measure_curation:
         ctimes: dict[str, float] = {}
         t0 = time.time()
         n_placed = pack_sequences(docs, seq_len=2048).count()

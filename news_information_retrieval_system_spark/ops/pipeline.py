@@ -29,7 +29,7 @@ from .curation import (
     pii_email_redact,
 )
 from .dedup import content_hash_col, dup_components, minhash_lsh_pairs
-from .textstats import quality_features
+from .textstats import quality_score_col
 
 
 def curate_corpus(
@@ -55,10 +55,10 @@ def curate_corpus(
     cur = docs.persist()
     stats["n_input"] = cur.count()
 
-    # 1. quality floor (JVM ratio features; one narrow pass)
-    qf = quality_features(cur)
-    keep_ids = qf.filter(F.col("quality_score") >= min_quality).select("doc_id")
-    nxt = cur.join(keep_ids, "doc_id").persist()
+    # 1. quality floor — row-local predicate, zero shuffle (the
+    # features-frame + semi-join alternative measured 2.2x slower at
+    # 200k turns and costs an exchange the filter doesn't)
+    nxt = cur.filter(quality_score_col(F.col("text")) >= min_quality).persist()
     stats["n_low_quality"] = stats["n_input"] - nxt.count()
     cur.unpersist()
     cur = nxt
