@@ -97,11 +97,13 @@ _PRIORITY: list[str] = [
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
     "split_leakage",        # cross-split exact-copy leak detector
     "curation_accounting",  # composed curate_corpus: per-stage counts
-    "packed_sequences",     # concat-and-chunk packing placement map
+    "packed_examples",      # inverse packing map — oracle re-derives the
+                            # FULL placement + slice math (supersedes the
+                            # packed_sequences check, same code path)
     "stratified_sample",    # deterministic mixture downsampling
     "ppx_quality",          # CCNet-style bigram-LM perplexity flags
-    # (packing_stats sits just past the window — it is an aggregate over
-    # packed_sequences' in-window placement map, same code path)
+    # (packed_sequences + packing_stats sit just past the window — both
+    # are implied by packed_examples' stronger oracle)
     # rotated out of the window, each superseded by a strictly stronger
     # in-window gate on the same code path: simhash_pairs (by
     # simhash_exact_pairs), jaccard_pairs + contamination_overlap (both
@@ -110,7 +112,8 @@ _PRIORITY: list[str] = [
     # split_leakage's oracle)
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
-    "packing_stats",        # aggregate over packed_sequences (in-window)
+    "packed_sequences",     # placement map (implied by packed_examples)
+    "packing_stats",        # aggregate over the placement map
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

@@ -220,6 +220,17 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(_docs(spark, sf_dir), seq_len=SEQ_LEN)
 
 
+def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse placement map: the doc slices filling each training
+    example — what a dataloader shard reads to materialize example i."""
+    from .ops.curation import example_map
+
+    return example_map(_docs(spark, sf_dir), seq_len=SEQ_LEN, num_ranges=5).select(
+        "example_id", F.col("doc_id").cast("long").alias("doc_id"),
+        "off_in_doc", "n_in_example",
+    )
+
+
 # ------------------------------------------------------ mixture sampling
 SAMPLE_RATES = {"en": 0.5, "fr": 0.25}
 SAMPLE_DEFAULT = 0.75
@@ -525,6 +536,20 @@ SELECT cast(doc_id AS BIGINT) AS doc_id,
 FROM c
 """
 
+ORACLES["packed_examples"] = f"""{_SQL_PACK}
+SELECT cast(e AS BIGINT) AS example_id,
+       cast(doc_id AS BIGINT) AS doc_id,
+       cast(greatest(0, e * {SEQ_LEN} - (cum - n)) AS BIGINT) AS off_in_doc,
+       cast(least(n, (e + 1) * {SEQ_LEN} - (cum - n))
+            - greatest(0, e * {SEQ_LEN} - (cum - n)) AS BIGINT) AS n_in_example
+FROM (
+  SELECT doc_id, n, cum,
+         unnest(range(cast((cum - n) // {SEQ_LEN} AS BIGINT),
+                      cast((cum - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS e
+  FROM c
+)
+"""
+
 ORACLES["packing_stats"] = f"""{_SQL_PACK}
 SELECT cast(count(*) AS BIGINT) AS n_docs,
        cast(sum(n) AS BIGINT) AS total_tokens,
@@ -599,4 +624,5 @@ def registry() -> dict:
         "packing_stats": q_packing_stats,
         "stratified_sample": q_stratified_sample,
         "ppx_quality": q_ppx_quality,
+        "packed_examples": q_packed_examples,
     }

@@ -416,3 +416,46 @@ def perplexity_flags(
         F.col("perplexity").alias("perplexity"),
         (ppx5 > int(round(max_perplexity * 100000))).alias("flagged"),
     )
+
+
+def example_map(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """The inverse of ``pack_sequences``' placement map: one row per
+    (example, document) overlap → (example_id, doc_id, off_in_doc,
+    n_in_example). This is what a dataloader shard reads to materialize
+    example i: the doc slices that fill it, in order. Row count =
+    n_docs + (n_examples − 1) boundary crossings, not docs × examples.
+
+    Invariant (tested): per-example token sums equal ``seq_len`` for
+    every example but the last partial one. Plan: the placement pass,
+    then a row-local explode of each doc's [first_example, last_example]
+    span with integer slice arithmetic — narrow on top of the packing
+    plan's one exchange.
+    """
+    placed = pack_sequences(
+        docs, seq_len, text_col=text_col, id_col=id_col,
+        sep_tokens=sep_tokens, num_ranges=num_ranges,
+    )
+    e = F.col("example_id")
+    off = F.greatest(F.lit(0), e * seq_len - F.col("start_token"))
+    end = F.least(F.col("n_tokens"), (e + 1) * seq_len - F.col("start_token"))
+    return (
+        placed.select(
+            "doc_id", "n_tokens", "start_token",
+            F.explode(
+                F.sequence(F.col("first_example"), F.col("last_example"))
+            ).alias("example_id"),
+        )
+        .select(
+            "example_id",
+            "doc_id",
+            off.cast("long").alias("off_in_doc"),
+            (end - off).cast("long").alias("n_in_example"),
+        )
+    )

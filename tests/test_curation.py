@@ -284,3 +284,34 @@ def test_pack_sequences_randomized_vs_python(spark, seed):
         want[did] = (n, acc, first, last, last - first + 1)
         acc += n
     assert got == want
+
+
+def test_example_map_invariants(spark):
+    """Every example's slices sum to exactly seq_len (except the final
+    partial one), offsets are in-bounds, and the map is invariant to the
+    partition count."""
+    import random
+
+    from news_information_retrieval_system_spark.ops.curation import example_map
+
+    rng = random.Random(41)
+    rows = [(i, " ".join(["w"] * rng.randrange(0, 40))) for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_len = 16
+    em = example_map(docs, seq_len=seq_len, num_ranges=5).collect()
+    total = sum(len([t for t in tx.split(" ") if t]) + 1 for _, tx in rows)
+    n_examples = (total + seq_len - 1) // seq_len
+    by_ex = {}
+    for r in em:
+        by_ex.setdefault(r["example_id"], 0)
+        by_ex[r["example_id"]] += r["n_in_example"]
+        assert 0 <= r["off_in_doc"]
+        assert r["n_in_example"] > 0
+    assert set(by_ex) == set(range(n_examples))
+    last = total % seq_len or seq_len
+    for e, tok in by_ex.items():
+        assert tok == (last if e == n_examples - 1 else seq_len)
+    # partition-count invariance: identical rows at other num_ranges
+    em3 = example_map(docs, seq_len=seq_len, num_ranges=2).collect()
+    key = lambda r: (r["example_id"], r["doc_id"], r["off_in_doc"], r["n_in_example"])
+    assert sorted(map(key, em)) == sorted(map(key, em3))
