@@ -14,8 +14,8 @@ join, or the banded LSH + label-propagation pair already audited for
 Row accounting is exact and disjoint by construction (stages apply in
 order, each drop counted once):
 
-    n_input = n_low_quality + n_exact_dup + n_near_dup
-              + n_contaminated + n_kept
+    n_input = n_wrong_lang + n_low_quality + n_exact_dup
+              + n_near_dup + n_contaminated + n_kept
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ def curate_corpus(
     docs: DataFrame,
     bench: DataFrame | None = None,
     *,
+    lang_allow: set[str] | None = None,
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
     contamination_min_overlap: int = 5,
@@ -53,13 +54,29 @@ def curate_corpus(
     lineage is short (reads the last persisted stage)."""
     stats: dict[str, int] = {}
     cur = docs.persist()
-    stats["n_input"] = cur.count()
+    alive = stats["n_input"] = cur.count()
+
+    # 0. language gate (CCNet ordering: lang-ID before quality) — the
+    # script/stopword heuristic as a row-local predicate, zero shuffle
+    if lang_allow is not None:
+        from .textstats import lang_id_col
+
+        nxt = cur.filter(
+            lang_id_col(F.col("text")).isin(*sorted(lang_allow))
+        ).persist()
+        n = nxt.count()
+        stats["n_wrong_lang"], alive = alive - n, n
+        cur.unpersist()
+        cur = nxt
+    else:
+        stats["n_wrong_lang"] = 0
 
     # 1. quality floor — row-local predicate, zero shuffle (the
     # features-frame + semi-join alternative measured 2.2x slower at
     # 200k turns and costs an exchange the filter doesn't)
     nxt = cur.filter(quality_score_col(F.col("text")) >= min_quality).persist()
-    stats["n_low_quality"] = stats["n_input"] - nxt.count()
+    n = nxt.count()
+    stats["n_low_quality"], alive = alive - n, n
     cur.unpersist()
     cur = nxt
 
@@ -72,7 +89,8 @@ def curate_corpus(
         .drop("h", "rn")
         .persist()
     )
-    stats["n_exact_dup"] = stats["n_input"] - stats["n_low_quality"] - nxt.count()
+    n = nxt.count()
+    stats["n_exact_dup"], alive = alive - n, n
     cur.unpersist()
     cur = nxt
 
@@ -93,9 +111,8 @@ def curate_corpus(
     comp = dup_components(pairs)
     non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     nxt = cur.join(non_canonical, "doc_id", "left_anti").persist()
-    stats["n_near_dup"] = (
-        stats["n_input"] - stats["n_low_quality"] - stats["n_exact_dup"] - nxt.count()
-    )
+    n = nxt.count()
+    stats["n_near_dup"], alive = alive - n, n
     comp.unpersist()
     cur.unpersist()
     cur = nxt
@@ -107,13 +124,8 @@ def curate_corpus(
             F.col("n_overlap") >= contamination_min_overlap
         ).select("doc_id")
         nxt = cur.join(contaminated, "doc_id", "left_anti").persist()
-        stats["n_contaminated"] = (
-            stats["n_input"]
-            - stats["n_low_quality"]
-            - stats["n_exact_dup"]
-            - stats["n_near_dup"]
-            - nxt.count()
-        )
+        n = nxt.count()
+        stats["n_contaminated"], alive = alive - n, n
         cur.unpersist()
         cur = nxt
     else:
@@ -129,11 +141,5 @@ def curate_corpus(
 
     # 6. deterministic split assignment
     out = assign_splits(cur, train=train, val=val)
-    stats["n_kept"] = (
-        stats["n_input"]
-        - stats["n_low_quality"]
-        - stats["n_exact_dup"]
-        - stats["n_near_dup"]
-        - stats["n_contaminated"]
-    )
+    stats["n_kept"] = alive
     return out, stats

@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--bench", default=None)
     ap.add_argument("--report", default=None)
+    ap.add_argument(
+        "--lang-allow", default=None,
+        help="comma-separated lang-ID labels to keep (e.g. en,en-ish); "
+             "gate runs before the quality floor",
+    )
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)
     ap.add_argument("--contamination-min-overlap", type=int, default=5)
@@ -49,6 +54,7 @@ def main() -> None:
     out, stats = curate_corpus(
         docs,
         bench,
+        lang_allow=set(args.lang_allow.split(",")) if args.lang_allow else None,
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard_threshold,
         contamination_min_overlap=args.contamination_min_overlap,

@@ -37,6 +37,7 @@ def test_pipeline_accounting_and_output(corpus, bench):
     out, stats = curate_corpus(corpus, bench, contamination_min_overlap=3)
     assert stats == {
         "n_input": 7,
+        "n_wrong_lang": 0,
         "n_low_quality": 1,
         "n_exact_dup": 1,
         "n_near_dup": 1,
@@ -59,12 +60,36 @@ def test_pipeline_completeness_lsh_config(corpus, bench):
     )
     assert stats == {
         "n_input": 7,
+        "n_wrong_lang": 0,
         "n_low_quality": 1,
         "n_exact_dup": 1,
         "n_near_dup": 1,
         "n_contaminated": 1,
         "n_kept": 3,
     }
+
+
+def test_pipeline_language_gate(corpus, bench):
+    """lang_allow drops non-matching docs FIRST (CCNet ordering), and
+    the accounting identity still closes exactly."""
+    zh = corpus.sparkSession.createDataFrame(
+        [(9, "這 是 一 段 中 文 轉 錄 內 容 的 測 試 文 字")],
+        "doc_id long, text string",
+    )
+    _, stats = curate_corpus(
+        corpus.unionByName(zh), bench,
+        lang_allow={"en", "en-ish"}, contamination_min_overlap=3,
+    )
+    # both the zh doc AND the all-punctuation junk doc ('unk' script)
+    # fall to the language gate, which runs before the quality floor
+    assert stats["n_wrong_lang"] == 2
+    assert stats["n_low_quality"] == 0
+    assert stats["n_input"] == 8
+    assert stats["n_input"] == sum(
+        stats[k] for k in ("n_wrong_lang", "n_low_quality", "n_exact_dup",
+                           "n_near_dup", "n_contaminated", "n_kept")
+    )
+    assert stats["n_kept"] == 3
 
 
 def test_pipeline_without_bench(corpus):
