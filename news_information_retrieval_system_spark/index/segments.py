@@ -549,3 +549,113 @@ def load_merged_blocks(spark: SparkSession, out_dir: str, span_bits: int = DEFAU
     """Read all segment parquet and produce the merged block table."""
     seg = spark.read.parquet(str(Path(out_dir) / "segments"))
     return merge_segments(seg.drop("bucket"), span_bits)
+
+
+def plan_compaction(
+    lineage_rows: list[dict],
+    max_per_tier: int = 4,
+    tier_factor: int = 8,
+    floor_bytes: int = 1 << 20,
+) -> list[list[int]]:
+    """Size-tiered compaction plan over live lineage rows (the classic
+    LSM policy Lucene-style engines run after many incremental appends):
+    tier(segment) = floor(log_{tier_factor}(max(bytes, floor)/floor));
+    any tier holding more than ``max_per_tier`` live segments merges ALL
+    of them into one. Pure metadata logic over the lineage log — O(num
+    segments), no Spark. Returns bucket-id groups, smallest tier first
+    (small merges are cheap and free the most segment count).
+    """
+    import math
+
+    live: dict[int, dict] = {}
+    for r in lineage_rows:
+        if r.get("status") == "ok":
+            live[r["bucket"]] = r
+        elif r.get("status") == "superseded":
+            live.pop(r["bucket"], None)
+    tiers: dict[int, list[int]] = {}
+    for b, r in live.items():
+        size = max(int(r.get("bytes", 0)), floor_bytes)
+        t = int(math.log(size / floor_bytes) / math.log(tier_factor))
+        tiers.setdefault(t, []).append(b)
+    return [sorted(v) for _, v in sorted(tiers.items()) if len(v) > max_per_tier]
+
+
+def compact_segments_dir(
+    spark: SparkSession,
+    out_dir: str,
+    max_per_tier: int = 4,
+    tier_factor: int = 8,
+    floor_bytes: int = 1 << 20,
+    span_bits: int = DEFAULT_SPAN_BITS,
+) -> dict:
+    """Execute a size-tiered compaction over a ``build_resumable`` output
+    directory: each planned group's segments are union-read, re-merged
+    block-wise (``merge_segments``), written as ONE new segment, and the
+    lineage log is extended append-only — 'superseded' rows retire the
+    inputs, one 'ok' row (with ``merged_from``) records the output.
+    Semantically idempotent: ``load_merged_blocks`` returns the same
+    merged block table before and after (the equality test pins this);
+    what compaction buys is segment COUNT — query-time merge work and
+    per-segment open cost scale with live segments.
+
+    Filesystem note: directory swap is local-FS rename/delete here; on a
+    real deployment this step is an Iceberg rewrite-files commit (atomic
+    snapshot swap), same plan shape.
+    """
+    import shutil
+
+    out = Path(out_dir)
+    lineage_path = out / "lineage.jsonl"
+    rows = [json.loads(x) for x in lineage_path.read_text().splitlines()]
+    groups = plan_compaction(rows, max_per_tier, tier_factor, floor_bytes)
+    live_ids = {r["bucket"] for r in rows if r.get("status") == "ok"}
+    for r in rows:
+        if r.get("status") == "superseded":
+            live_ids.discard(r["bucket"])
+    next_id = max(live_ids, default=-1) + 1
+    merged_groups = []
+    for group in groups:
+        t0 = time.time()
+        seg = spark.read.parquet(str(out / "segments")).filter(
+            F.col("bucket").isin(group)
+        )
+        merged = merge_segments(seg.drop("bucket"), span_bits)
+        tmp = out / "segments_compact_tmp"
+        merged.write.mode("overwrite").parquet(str(tmp))
+        stats = spark.read.parquet(str(tmp)).agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum("nbytes").alias("bytes"),
+            F.min("term").alias("term_min"),
+            F.max("term").alias("term_max"),
+            F.countDistinct("term").alias("n_terms"),
+        ).first()
+        for b in group:
+            shutil.rmtree(out / "segments" / f"bucket={b}")
+        (tmp).rename(out / "segments" / f"bucket={next_id}")
+        doc_count = sum(
+            r["doc_count"] for r in rows
+            if r.get("status") == "ok" and r["bucket"] in group
+        )
+        with lineage_path.open("a") as f:
+            for b in group:
+                f.write(json.dumps(
+                    {"bucket": b, "status": "superseded", "into": next_id}
+                ) + "\n")
+            f.write(json.dumps({
+                "bucket": next_id,
+                "status": "ok",
+                "merged_from": group,
+                "doc_count": doc_count,
+                "n_blocks": stats["n_blocks"],
+                "n_postings": int(stats["n_postings"] or 0),
+                "bytes": int(stats["bytes"] or 0),
+                "term_range": [stats["term_min"], stats["term_max"]],
+                "n_terms": stats["n_terms"],
+                "wall_time_sec": round(time.time() - t0, 3),
+            }) + "\n")
+        merged_groups.append({"merged_from": group, "into": next_id})
+        next_id += 1
+    n_live = len(live_ids) - sum(len(g["merged_from"]) for g in merged_groups) + len(merged_groups)
+    return {"groups": merged_groups, "live_segments": n_live}
