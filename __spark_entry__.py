@@ -87,7 +87,9 @@ _PRIORITY: list[str] = [
     "model_overlap",
     "query_suggestions",
     "json_docs",
-    "json_array_docs",
+    "ef_stats",             # Elias-Fano codec: encoder bytes vs closed form
+    # (json_array_docs parked past the window: native multiLine
+    # spark.read.json variant of the in-window json_docs path)
     "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
     "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
     "pfor_stats",           # PForDelta codec: encoder bytes vs closed-form

@@ -14,7 +14,11 @@ Layout:
     index/     — postings + doc_stats build, block codec, resumable segments
     query/     — BM25, WAND, boolean, phrase, VSM, LM, BIM, fuzzy, hybrid
     eval/      — IR metrics (P@k, MAP, MRR, nDCG) as DataFrame ops
-    ops/       — dedup (exact/simhash/minhash), ANN similarity, text stats
+    ops/       — dedup (exact/simhash/minhash), ANN similarity, text stats,
+                 training-data curation (splits, decontamination, PII,
+                 packing, mixture sampling, LM perplexity) + the composed
+                 curate_corpus pipeline
+    streaming/ — ingest, sessionization, dedup, rollups, stateless curation
     oracle     — pure-Python reference scorer for rank-identity tests
 """
 

@@ -814,6 +814,7 @@ ORACLES["json_array_docs"] = ORACLES["json_docs"]
 
 def registry() -> dict:
     return {
+        "ef_stats": q_ef_stats,
         "contract_violations": q_contract_violations,
         "normalized_records": q_normalized_records,
         "model_overlap": q_model_overlap,
@@ -827,3 +828,54 @@ def registry() -> dict:
         "model_unique_docs": q_model_unique_docs,
         "model_rank_changes": q_model_rank_changes,
     }
+
+
+# ------------------------------------------------------------- Elias-Fano
+def q_ef_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano doc-id-list compression report (the quasi-succinct
+    monotone codec modern engines use for sorted posting lists; beyond
+    the reference's VByte/Gamma/Delta set — compression.py:73-639). Per
+    term the Spark side runs the REAL encoder and reports the payload
+    byte length; the oracle reproduces it from the closed-form size
+    n*l + (max >> l) + n bits alone (l = bit_length((max+1)//n) - 1),
+    so any drift between encoder and size model hash-mismatches."""
+    import pandas as pd
+
+    from .index.codec import ef_encode, ef_params
+
+    idx = _index(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        data, l = ef_encode(d)
+        n, _, _ = ef_params(d)
+        return pd.DataFrame(
+            [(pdf["term"].iloc[0], n, l, len(data))],
+            columns=["term", "n", "l", "ef_bytes"],
+        )
+
+    return (
+        idx.postings.select("term", "doc_id")
+        .groupBy("term")
+        .applyInPandas(kernel, schema="term string, n long, l long, ef_bytes long")
+    )
+
+
+ORACLES["ef_stats"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+post AS (SELECT DISTINCT term, doc_id FROM toks),
+agg AS (SELECT term, count(*) AS n, max(doc_id) AS mx FROM post GROUP BY term),
+p AS (
+  SELECT term, n, mx,
+         length(bin(cast((mx + 1) // n AS BIGINT))) - 1 AS l
+  FROM agg
+)
+SELECT term, cast(n AS BIGINT) AS n, cast(l AS BIGINT) AS l,
+       cast((n * l + (mx >> l) + n + 7) // 8 AS BIGINT) AS ef_bytes
+FROM p
+"""

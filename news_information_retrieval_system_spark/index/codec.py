@@ -469,3 +469,62 @@ def compare_compression(doc_ids: np.ndarray) -> dict:
         "gamma": {"compressed_size": gb, "compression_ratio": gb / raw if raw else 1.0},
         "delta": {"compressed_size": db, "compression_ratio": db / raw if raw else 1.0},
     }
+
+
+# ----------------------------------------------------------- Elias-Fano
+# Quasi-succinct monotone-list codec (Vigna 2013; the doc-id list format
+# of modern engines). Beyond the reference's codec set (compression.py
+# ships VByte/Gamma/Delta only) — listed in the comparison suite because
+# it is the standard answer for sorted doc-id lists at scale: n*l low
+# bits + a unary high-bits bitmap, ~2 + log2(universe/n) bits/element,
+# with O(1) select-based random access in real deployments.
+
+
+def ef_params(vals: np.ndarray) -> tuple[int, int, int]:
+    """(n, l, total_bits) for a strictly-increasing non-negative array.
+    l = floor(log2(u/n)) with u = max+1 (computed as bit_length(u//n)-1,
+    exact because floor(log2 x) = bit_length(floor x)-1 for x ≥ 1);
+    total_bits = n*l + (max >> l) + n (low stream + high bitmap)."""
+    n = len(vals)
+    if n == 0:
+        return 0, 0, 0
+    mx = int(vals[-1])
+    u = mx + 1
+    ratio = u // n
+    l = ratio.bit_length() - 1 if ratio >= 1 else 0
+    return n, l, n * l + (mx >> l) + n
+
+
+def ef_encode(vals: np.ndarray) -> tuple[bytes, int]:
+    """Elias-Fano encode a strictly-increasing non-negative int64 array →
+    (payload, l). Layout: n*l low bits (LSB-first per value), then the
+    high bitmap with bit (v_i >> l) + i set; both packed little-endian.
+    Vectorized: the only Python-level loop is over the l bit positions
+    (≤ 63), never over values."""
+    v = np.asarray(vals, dtype=np.int64)
+    n, l, total_bits = ef_params(v)
+    if n == 0:
+        return b"", 0
+    if n > 1 and not (v[1:] > v[:-1]).all():
+        raise ValueError("ef_encode requires a strictly increasing array")
+    if int(v[0]) < 0:
+        raise ValueError("ef_encode requires non-negative values")
+    bits = np.zeros(total_bits, dtype=np.uint8)
+    for j in range(l):  # low bits: value i bit j at position i*l + j
+        bits[j::l][:n] = (v >> j) & 1
+    hi = (v >> l) + np.arange(n, dtype=np.int64)
+    bits[n * l + hi] = 1
+    return np.packbits(bits, bitorder="little").tobytes(), l
+
+
+def ef_decode(data: bytes, n: int, l: int) -> np.ndarray:
+    """Inverse of ef_encode."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    lows = np.zeros(n, dtype=np.int64)
+    for j in range(l):
+        lows |= bits[j::l][:n].astype(np.int64) << j
+    positions = np.flatnonzero(bits[n * l:])[:n]
+    high = positions - np.arange(n, dtype=np.int64)
+    return (high << l) | lows

@@ -108,3 +108,57 @@ def test_compare_compression_consistency(ids):
     dense = np.arange(1000, dtype=np.int64)
     dr = compare_compression(dense)
     assert dr["gamma"]["compressed_size"] < dr["original_size"] // 8
+
+
+def test_ef_roundtrip_and_size_formula():
+    import numpy as np
+
+    from news_information_retrieval_system_spark.index.codec import (
+        ef_decode, ef_encode, ef_params,
+    )
+
+    cases = [
+        np.array([0], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.arange(100, dtype=np.int64),          # dense: l = 0
+        np.arange(100, dtype=np.int64) * 1000,   # sparse: l ≈ 10
+        np.array([3, 17, 4000, 4001, 10**12], dtype=np.int64),
+    ]
+    for v in cases:
+        data, l = ef_encode(v)
+        n, l2, bits = ef_params(v)
+        assert l == l2
+        assert len(data) == (bits + 7) // 8  # encoder == closed form
+        assert (ef_decode(data, n, l) == v).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+             max_size=300, unique=True)
+)
+@settings(max_examples=60, deadline=None)
+def test_ef_roundtrip_property(vals):
+    import numpy as np
+
+    from news_information_retrieval_system_spark.index.codec import (
+        ef_decode, ef_encode, ef_params,
+    )
+
+    v = np.array(sorted(vals), dtype=np.int64)
+    data, l = ef_encode(v)
+    n, _, bits = ef_params(v)
+    assert len(data) == (bits + 7) // 8
+    assert (ef_decode(data, n, l) == v).all()
+
+
+def test_ef_rejects_unsorted():
+    import numpy as np
+
+    import pytest as _pytest
+
+    from news_information_retrieval_system_spark.index.codec import ef_encode
+
+    with _pytest.raises(ValueError):
+        ef_encode(np.array([5, 3], dtype=np.int64))
+    with _pytest.raises(ValueError):
+        ef_encode(np.array([3, 3], dtype=np.int64))  # strictly increasing
