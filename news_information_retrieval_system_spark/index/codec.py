@@ -528,3 +528,43 @@ def ef_decode(data: bytes, n: int, l: int) -> np.ndarray:
     positions = np.flatnonzero(bits[n * l:])[:n]
     high = positions - np.arange(n, dtype=np.int64)
     return (high << l) | lows
+
+
+def encode_block_ef(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_base: int
+) -> bytes:
+    """Elias-Fano twin of ``encode_block``: doc ids (sorted unique,
+    rebased to the block span) as a quasi-succinct EF stream, tf/dl as
+    self-describing PFor streams. Layout:
+    [1B l][varint ef_nbytes][ef payload][pfor(tfs)][pfor(dls)]."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64) - np.int64(block_base)
+    payload, l = ef_encode(d) if d.size else (b"", 0)
+    header = bytes([l]) + varint_encode(
+        np.array([len(payload)], dtype=np.uint64)
+    ).tobytes()
+    return (
+        header
+        + payload
+        + pfor_encode(np.asarray(tfs, dtype=np.uint64))
+        + pfor_encode(np.asarray(dls, dtype=np.uint64))
+    )
+
+
+def decode_block_ef(data: bytes, n: int, block_base: int):
+    """Inverse of ``encode_block_ef`` → (doc_ids, tfs, dls) int64."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    l = int(buf[0])
+    nb, off = _varint_decode_count(buf, 1, 1)
+    ef_nbytes = int(nb[0])
+    payload = buf[off:off + ef_nbytes].tobytes()
+    doc_ids = ef_decode(payload, n, l) + np.int64(block_base)
+    off += ef_nbytes
+    tfs, off = pfor_decode_at(buf, off)
+    dls, off = pfor_decode_at(buf, off)
+    assert tfs.size == dls.size == n, (
+        f"corrupt ef block: {tfs.size}/{dls.size} != {n}"
+    )
+    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
+
+
+BLOCK_CODECS["ef"] = (encode_block_ef, decode_block_ef)

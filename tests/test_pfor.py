@@ -119,7 +119,7 @@ def test_block_twin_parity():
 
 
 def test_block_codec_registry():
-    assert set(BLOCK_CODECS) == {"varint", "pfor"}
+    assert set(BLOCK_CODECS) == {"varint", "pfor", "ef"}
     enc, dec = BLOCK_CODECS["pfor"]
     d = np.array([10, 11, 400], dtype=np.int64)
     got = dec(enc(d, np.array([1, 2, 3]), np.array([9, 9, 9]), 0), 3, 0)
@@ -139,3 +139,54 @@ def test_corrupt_block_raises():
     blob = encode_block_pfor(np.array([1, 2, 3]), np.array([1, 1, 1]), np.array([4, 4, 4]), 0)
     with pytest.raises(AssertionError):
         decode_block_pfor(blob, 5, 0)
+
+
+def test_ef_block_twin_parity():
+    """encode_block_ef/decode_block_ef agree with the varint block codec
+    on the same (doc_ids, tfs, dls, base) contract, and an end-to-end
+    blocked build + WAND over ef blocks is rank-identical to varint."""
+    from news_information_retrieval_system_spark.index.codec import (
+        decode_block_ef, encode_block_ef,
+    )
+
+    rng = np.random.default_rng(13)
+    base = 7 << 14
+    d = np.sort(rng.choice(np.arange(base, base + 16384), size=900, replace=False))
+    tf = rng.integers(1, 50, size=900)
+    dl = rng.integers(5, 2000, size=900)
+    via_varint = decode_block(encode_block(d, tf, dl, base), 900, base)
+    via_ef = decode_block_ef(encode_block_ef(d, tf, dl, base), 900, base)
+    for a, b in zip(via_varint, via_ef):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_wand_over_ef_blocks_rank_identical(spark):
+    from pyspark.sql import functions as F
+
+    from news_information_retrieval_system_spark.index.build import build_index
+    from news_information_retrieval_system_spark.index.segments import (
+        build_blocked_postings,
+    )
+    from news_information_retrieval_system_spark.query.bm25 import query_terms_df
+    from news_information_retrieval_system_spark.query.wand import wand_topk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    idx = build_index(docs).materialize()
+    q = query_terms_df(spark, {"q1": "fast table scan", "q2": "slow value"})
+    qi = q.join(idx.term_stats.select("term", "idf"), "term")
+    n_docs, avgdl = idx.scalar_stats()
+
+    def run(codec):
+        blk = build_blocked_postings(
+            idx.postings, term_dict=idx.term_stats, codec=codec
+        )
+        out = wand_topk(blk, qi, n_docs, avgdl, k=10, codec=codec)
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in out.collect()
+        )
+
+    assert run("ef") == run("varint")
