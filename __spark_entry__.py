@@ -62,7 +62,9 @@ _PRIORITY: list[str] = [
     "related_docs",
     "key_sentences",
     "ltr_features",
-    "ltr_train_coefs",
+    # (ltr_train_coefs parked past the window: rows-only by design —
+    # a driver row adds nothing beyond pytest, and A12's oracle-backed
+    # gate is ltr_features above)
     "lda_topics",
     "hier_clusters",
     "feedback_event_stats",
@@ -73,7 +75,9 @@ _PRIORITY: list[str] = [
     "session_stats",
     "star_pairs",
     "editdist_pairs",
-    "term_clusters_editdist",
+    # (term_clusters_editdist parked past the window: same absorption
+    # code path as in-window term_clusters_cooc, pair input gated by
+    # in-window editdist_pairs)
     "cooc_pairs",
     "term_clusters_cooc",
     # -- semantics changed in round 4: re-verify
@@ -104,6 +108,8 @@ _PRIORITY: list[str] = [
                             # packed_sequences check, same code path)
     "stratified_sample",    # deterministic mixture downsampling
     "ppx_quality",          # CCNet-style bigram-LM perplexity flags
+    "eval_sig_test",        # paired t-test + Wilcoxon between two rankers
+    "corpus_audit",         # per-field completeness/length audit payload
     # (packed_sequences + packing_stats sit just past the window — both
     # are implied by packed_examples' stronger oracle)
     # rotated out of the window, each superseded by a strictly stronger
@@ -116,6 +122,9 @@ _PRIORITY: list[str] = [
     # everything below is past the driver's 50-entry window this round:
     "packed_sequences",     # placement map (implied by packed_examples)
     "packing_stats",        # aggregate over the placement map
+    "pr_curve",             # 11-point interpolated PR (oracle-backed)
+    "ltr_train_coefs",      # rows-only (pyspark.ml LR, by design)
+    "term_clusters_editdist",  # same absorption path as _cooc (in-window)
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",
@@ -143,9 +152,11 @@ def _ordered(merged: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+    from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
+        **EQR6.registry(),
         **EQCUR.registry(),
         **EQ.registry(),
         **EQO.registry(),
@@ -163,9 +174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
+    from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
+        **EQR6.ORACLES,
         **EQCUR.ORACLES,
         **EQ.ORACLES,
         **EQO.ORACLES,
