@@ -35,6 +35,7 @@ from .entry_queries_r5 import _SQL_RAW, _raw_records
 from .eval.metrics import per_query_metrics
 from .eval.significance import interpolated_pr, paired_sig_test
 from .ops.audit import field_completeness
+from .ops.patterns import mi_patterns
 from .query.bm25 import score_bm25, topk
 from .query.vsm import score_tfidf
 
@@ -63,6 +64,17 @@ def q_eval_sig_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_completeness(_raw_records(spark, sf_dir), AUDIT_FIELDS)
+
+
+PAT_N_MIN, PAT_N_MAX, PAT_MIN_FREQ = 2, 3, 10
+
+
+def q_mi_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import _docs
+
+    return mi_patterns(
+        _docs(spark, sf_dir), n_min=PAT_N_MIN, n_max=PAT_N_MAX, min_freq=PAT_MIN_FREQ
+    )
 
 
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,9 +251,48 @@ FROM grid g LEFT JOIN hit h
 """
 
 
+_PAT_GRAMS = " UNION ALL ".join(
+    f"""
+  SELECT unnest(list_transform(generate_series(1, len(tl) - {n} + 1),
+         i -> array_to_string(tl[i:i+{n}-1], ' '))) AS pattern, {n} AS n
+  FROM ptoks"""
+    for n in range(PAT_N_MIN, PAT_N_MAX + 1)
+)
+
+ORACLES["mi_patterns"] = f"""
+WITH ptoks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents
+),
+uni AS (SELECT unnest(tl) AS term FROM ptoks),
+uf AS (SELECT term, count(*) AS uf FROM uni GROUP BY term),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_tokens FROM uni),
+grams AS ({_PAT_GRAMS}),
+freq AS (
+  SELECT pattern, n, cast(count(*) AS BIGINT) AS freq
+  FROM grams GROUP BY pattern, n
+  HAVING count(*) >= {PAT_MIN_FREQ}
+),
+pt AS (
+  SELECT f.pattern, f.n, f.freq, unnest(string_split(f.pattern, ' ')) AS term
+  FROM freq f
+),
+sums AS (
+  SELECT pattern, n, freq, sum(log2(uf.uf)) AS sum_log_uf
+  FROM pt JOIN uf USING (term)
+  GROUP BY pattern, n, freq
+)
+SELECT pattern, cast(n AS INT) AS n, freq,
+       cast(round((log2(freq) + (n - 1) * log2(s.n_tokens) - sum_log_uf) * 100000)
+            AS BIGINT) AS mi_5dp
+FROM sums CROSS JOIN stats s
+"""
+
+
 def registry() -> dict:
     return {
         "eval_sig_test": q_eval_sig_test,
         "corpus_audit": q_corpus_audit,
         "pr_curve": q_pr_curve,
+        "mi_patterns": q_mi_patterns,
     }

@@ -155,3 +155,29 @@ def test_dedup_stats(spark):
     )
     row = dedup_stats(df).collect()[0]
     assert (row["dedup_hashes"], row["unique_hashes"], row["duplicate_hashes"]) == (3, 2, 1)
+
+
+def test_mi_patterns_hand_computed(spark):
+    from news_information_retrieval_system_spark.ops.patterns import mi_patterns
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = mi_patterns(docs, n_min=2, n_max=3, min_freq=2).collect()
+    # only "a b" survives min_freq=2: freq 3; N=7, f_a=3, f_b=3
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pattern"], r["n"], r["freq"]) == ("a b", 2, 3)
+    assert r["mi_5dp"] == round(math.log2(3 * 7 / (3 * 3)) * 100000)
+
+
+def test_mi_patterns_repeated_token(spark):
+    from news_information_retrieval_system_spark.ops.patterns import mi_patterns
+
+    # "x x" pattern: repeated token counted per occurrence in the product
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x x z")], "doc_id long, text string"
+    )
+    rows = {r["pattern"]: r for r in mi_patterns(docs, 2, 2, min_freq=2).collect()}
+    # N=6, f_x=4; "x x" freq 2 -> MI = log2(2*6/(4*4))
+    assert rows["x x"]["mi_5dp"] == round(math.log2(2 * 6 / 16) * 100000)
