@@ -66,6 +66,22 @@ def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_completeness(_raw_records(spark, sf_dir), AUDIT_FIELDS)
 
 
+def q_phrase_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-positional twin of phrase_docs: same expected rows, but
+    computed from the compressed (term, block_key) position blobs via the
+    no-join vectorized kernel — the 100 TB phrase plan, gated by the same
+    DuckDB oracle as the flat path."""
+    from .entry_queries import _docs
+    from .entry_queries_ops import PHRASE
+    from .index.positional_blocks import build_positional_blocks, phrase_match_blocks
+
+    blocks = build_positional_blocks(_docs(spark, sf_dir))
+    return phrase_match_blocks(blocks, list(PHRASE)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("match_count").cast("long").alias("match_count"),
+    )
+
+
 PAT_N_MIN, PAT_N_MAX, PAT_MIN_FREQ = 2, 3, 10
 
 
@@ -289,10 +305,20 @@ FROM sums CROSS JOIN stats s
 """
 
 
+def _phrase_blocked_oracle() -> str:
+    from .entry_queries_ops import ORACLES as _OPS_ORACLES
+
+    return _OPS_ORACLES["phrase_docs"]
+
+
+ORACLES["phrase_blocked_docs"] = _phrase_blocked_oracle()
+
+
 def registry() -> dict:
     return {
         "eval_sig_test": q_eval_sig_test,
         "corpus_audit": q_corpus_audit,
         "pr_curve": q_pr_curve,
         "mi_patterns": q_mi_patterns,
+        "phrase_blocked_docs": q_phrase_blocked_docs,
     }

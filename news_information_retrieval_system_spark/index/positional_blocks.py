@@ -1,0 +1,204 @@
+"""Positional postings in compressed doc-range blocks — the 100 TB scale
+path for phrase / proximity queries.
+
+The flat positional table (``index/build.py`` build_positional, reference
+src/ir/index/positional_index.py:92-152) answers phrase queries with one
+doc_id equi-join per phrase term; correct, but at 10^12 turns every query
+re-shuffles raw position rows. This module stores positions the way the
+BM25 engine stores postings (``index/segments.py``): one compressed blob
+per (term, block_key) with ``block_key = doc_id >> span_bits``, giving
+
+* build: ONE shuffle keyed (term, block_key) — a hot term's positions
+  split across doc-range groups, so no reducer ever holds a stopword's
+  full position list (the same skew bound as the BM25 blocks);
+* query: a k-term phrase needs NO join at all — every doc's positions
+  for ALL terms share one block_key, so a single groupBy(block_key)
+  kernel sees everything it needs; term pushdown (``term IN (...)``)
+  reaches the block-table scan, and the work is embarrassingly parallel
+  by doc range;
+* storage: doc-gap + per-doc position-delta varint streams (positions
+  are strictly increasing within a doc, so deltas are ≥ 1).
+
+Blob layout (single varint stream; counts make it self-describing):
+``gaps(n) ++ freqs(n) ++ pos-deltas(sum freqs)`` where ``gaps`` are
+doc-id deltas from the block base and each doc's first position is
+stored absolute, the rest as deltas.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+from .codec import varint_decode, varint_encode
+from .segments import DEFAULT_SPAN_BITS
+
+POS_BLOCK_SCHEMA = (
+    "term string, block_key long, n int, min_doc long, max_doc long, "
+    "n_pos long, nbytes int, data binary"
+)
+
+# doc_id*2^32 + pos phrase keys assume positions < 2^32 (a single doc
+# shorter than 4Gi tokens — far above any real transcript turn)
+_POS_BITS = 32
+
+
+def encode_pos_block(
+    doc_ids: np.ndarray, freqs: np.ndarray, pos_flat: np.ndarray, block_base: int
+) -> bytes:
+    """Sorted unique int64 doc_ids, per-doc occurrence counts, and the
+    flat concatenated (per-doc sorted) positions → varint blob."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    p = np.ascontiguousarray(pos_flat, dtype=np.int64)
+    gaps = np.empty(d.shape, dtype=np.uint64)
+    if d.size:
+        gaps[0] = np.uint64(int(d[0]) - int(block_base))
+        np.subtract(d[1:], d[:-1], out=gaps[1:].view(np.int64))
+    # per-doc position deltas: first position absolute, rest diffs
+    deltas = np.empty(p.shape, dtype=np.int64)
+    if p.size:
+        deltas[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=deltas[1:])
+        starts = np.zeros(p.size, dtype=bool)
+        starts[np.cumsum(f[:-1])] = True
+        starts[0] = True
+        deltas[starts] = p[starts]
+    stream = np.concatenate(
+        [gaps, f.astype(np.uint64), deltas.astype(np.uint64)]
+    )
+    return varint_encode(stream).tobytes()
+
+
+def decode_pos_block(data: bytes, n: int, block_base: int):
+    """blob → (doc_ids int64, freqs int64, pos_flat int64). ``pos_flat``
+    is the concatenation of each doc's sorted positions; doc i owns the
+    slice [cumsum(freqs)[i-1], cumsum(freqs)[i])."""
+    stream = varint_decode(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
+    gaps = stream[:n]
+    doc_ids = np.cumsum(gaps) + np.int64(block_base)
+    freqs = stream[n : 2 * n]
+    deltas = stream[2 * n :]
+    assert deltas.size == int(freqs.sum()), "corrupt positional block"
+    pos = np.cumsum(deltas)
+    if n:
+        # subtract the running carry at each doc start so each doc's
+        # positions restart from its absolute first position
+        starts = np.zeros(deltas.size, dtype=bool)
+        starts[np.cumsum(freqs[:-1])] = True
+        starts[0] = True
+        carry = np.where(starts, pos - deltas, 0)
+        carry = np.maximum.accumulate(carry)
+        pos = pos - carry
+    return doc_ids, freqs, pos
+
+
+def build_positional_blocks(
+    docs: DataFrame,
+    span_bits: int = DEFAULT_SPAN_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → positional block table (POS_BLOCK_SCHEMA). JVM
+    posexplode feeds one applyInPandas encoder per (term, block_key)
+    group — the only shuffle, with the doc-range key bounding hot-term
+    groups at 2^span_bits docs."""
+
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    ).withColumn("block_key", F.shiftright("doc_id", span_bits))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        bk = int(pdf["block_key"].iloc[0])
+        base = bk << span_bits
+        d = pdf["doc_id"].to_numpy(np.int64)
+        p = pdf["pos"].to_numpy(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        uniq, freqs = np.unique(d, return_counts=True)
+        blob = encode_pos_block(uniq, freqs, p, base)
+        return pd.DataFrame(
+            [
+                (
+                    term,
+                    bk,
+                    int(uniq.size),
+                    int(uniq[0]),
+                    int(uniq[-1]),
+                    int(p.size),
+                    len(blob),
+                    blob,
+                )
+            ],
+            columns=[
+                "term",
+                "block_key",
+                "n",
+                "min_doc",
+                "max_doc",
+                "n_pos",
+                "nbytes",
+                "data",
+            ],
+        )
+
+    return rows.groupBy("term", "block_key").applyInPandas(
+        kernel, schema=POS_BLOCK_SCHEMA
+    )
+
+
+def phrase_match_blocks(blocks: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """Blocked twin of ``query.phrase.phrase_match`` → (doc_id,
+    match_count). The term filter pushes down to the block scan; one
+    groupBy(block_key) kernel intersects positions fully vectorized:
+    each occurrence becomes the key ``doc_id·2^32 + pos`` so the
+    consecutive-offset check is a chain of np.isin calls across the
+    whole block — no per-doc loop, no join."""
+    if not terms:
+        raise ValueError("empty phrase")
+    uniq_terms = list(dict.fromkeys(terms))
+    sub = blocks.filter(F.col("term").isin(uniq_terms))
+    span_terms = list(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "match_count": []}).astype(
+            {"doc_id": "int64", "match_count": "int64"}
+        )
+        # decoding with base=0 yields BLOCK-RELATIVE doc ids (the first
+        # gap is doc0 - block_base), which fit in span_bits — so the
+        # (rel_doc << 32) + pos phrase key never overflows int64 even at
+        # 10^12 absolute doc ids. The shared base is recovered once from
+        # any row's stored absolute min_doc.
+        keys: dict[str, np.ndarray] = {}
+        base = None
+        for r in pdf.itertuples(index=False):
+            d_rel, f, p = decode_pos_block(r.data, int(r.n), 0)
+            if base is None:
+                base = int(r.min_doc) - int(d_rel[0])
+            k = (np.repeat(d_rel, f) << _POS_BITS) + p
+            keys[r.term] = np.concatenate([keys[r.term], k]) if r.term in keys else k
+        if any(t not in keys for t in span_terms):
+            return empty
+        anchor = keys[span_terms[0]]
+        for i, t in enumerate(span_terms[1:], start=1):
+            anchor = anchor[np.isin(anchor + i, keys[t])]
+            if not anchor.size:
+                return empty
+        rel_hit, counts = np.unique(anchor >> _POS_BITS, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": (rel_hit + base).astype(np.int64),
+                "match_count": counts.astype(np.int64),
+            }
+        )
+
+    return sub.groupBy("block_key").applyInPandas(
+        kernel, schema="doc_id long, match_count long"
+    )
