@@ -231,6 +231,94 @@ def main() -> int:
         "vectorized numpy cumsum per batch, scalar carry across batches",
     )
 
+    # -------------------------------------------------- positional blocks
+    import tempfile
+
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        build_positional_blocks,
+        phrase_match_blocks,
+    )
+
+    pb = build_positional_blocks(docs)
+    p = explain_str(pb)
+    dumps.append(("build_positional_blocks", p))
+    import re
+
+    check(
+        "positional_build",
+        "exactly one shuffle Exchange",
+        len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+        and "hashpartitioning(term" in p,
+        "the token stream shuffles once, keyed (term, block_key) — the "
+        "doc-range key bounds every hot-term group",
+    )
+    check(
+        "positional_build",
+        "scan prunes to (doc_id, text)",
+        "ReadSchema: struct<doc_id:bigint,text:string>" in p,
+        "",
+    )
+    check(
+        "positional_build",
+        "encoder is Arrow-batched (FlatMapGroupsInPandas)",
+        "FlatMapGroupsInPandas" in p,
+        "per-(term, block) varint encode in vectorized numpy",
+    )
+
+    # blocked phrase over a PERSISTED block table: the term IN (...)
+    # filter must reach the parquet scan — at 100 TB only the phrase's
+    # terms' blocks are ever read
+    with tempfile.TemporaryDirectory() as td:
+        pb.write.parquet(f"{td}/blocks")
+        stored = spark.read.parquet(f"{td}/blocks")
+        pm = phrase_match_blocks(stored, ["fast", "scan"])
+        p = explain_str(pm)
+        dumps.append(("phrase_match_blocks (over stored block table)", p))
+        check(
+            "phrase_blocked",
+            "term filter pushed to block scan",
+            "PushedFilters: [In(term" in p,
+            "only the phrase terms' blocks are read",
+        )
+        check(
+            "phrase_blocked",
+            "no join in the query plan",
+            "Join" not in p,
+            "all phrase terms of a doc share one block_key — one "
+            "groupBy(block_key) kernel replaces k-1 doc_id equi-joins",
+        )
+        check(
+            "phrase_blocked",
+            "kernel is Arrow-batched (FlatMapGroupsInPandas)",
+            "FlatMapGroupsInPandas" in p,
+            "vectorized np.isin offset chain, no per-row Python",
+        )
+
+    # ------------------------------------------------------- mi_patterns
+    from news_information_retrieval_system_spark.ops.patterns import mi_patterns
+
+    mp = mi_patterns(docs, n_min=2, n_max=3, min_freq=5)
+    p = explain_str(mp)
+    dumps.append(("mi_patterns (n-gram MI extraction)", p))
+    check(
+        "mi_patterns",
+        "partial aggregation before exchange",
+        "partial_count" in p or "HashAggregate" in p,
+        "map-side combine on the n-gram counts",
+    )
+    check(
+        "mi_patterns",
+        "token-total is a broadcast (1 row), not a shuffle",
+        "BroadcastExchange" in p and "CartesianProduct" not in p,
+        "",
+    )
+    check(
+        "mi_patterns",
+        "scan prunes to text only",
+        "ReadSchema: struct<text:string>" in p,
+        "doc_id isn't needed for corpus-wide counts — Catalyst drops it",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
