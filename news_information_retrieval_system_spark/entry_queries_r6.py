@@ -82,6 +82,18 @@ def q_phrase_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-positional twin of near_docs (same oracle)."""
+    from .entry_queries import _docs
+    from .entry_queries_ops import NEAR_DIST, NEAR_TERMS
+    from .index.positional_blocks import build_positional_blocks, proximity_match_blocks
+
+    blocks = build_positional_blocks(_docs(spark, sf_dir))
+    return proximity_match_blocks(blocks, NEAR_TERMS[0], NEAR_TERMS[1], NEAR_DIST).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 PAT_N_MIN, PAT_N_MAX, PAT_MIN_FREQ = 2, 3, 10
 
 
@@ -305,13 +317,15 @@ FROM sums CROSS JOIN stats s
 """
 
 
-def _phrase_blocked_oracle() -> str:
+def _ops_oracle(name: str) -> str:
     from .entry_queries_ops import ORACLES as _OPS_ORACLES
 
-    return _OPS_ORACLES["phrase_docs"]
+    return _OPS_ORACLES[name]
 
 
-ORACLES["phrase_blocked_docs"] = _phrase_blocked_oracle()
+# the blocked paths are gated by the SAME oracles as the flat paths
+ORACLES["phrase_blocked_docs"] = _ops_oracle("phrase_docs")
+ORACLES["near_blocked_docs"] = _ops_oracle("near_docs")
 
 
 def registry() -> dict:
@@ -321,4 +335,5 @@ def registry() -> dict:
         "pr_curve": q_pr_curve,
         "mi_patterns": q_mi_patterns,
         "phrase_blocked_docs": q_phrase_blocked_docs,
+        "near_blocked_docs": q_near_blocked_docs,
     }

@@ -202,3 +202,36 @@ def phrase_match_blocks(blocks: DataFrame, terms: Sequence[str]) -> DataFrame:
     return sub.groupBy("block_key").applyInPandas(
         kernel, schema="doc_id long, match_count long"
     )
+
+
+def proximity_match_blocks(
+    blocks: DataFrame, t1: str, t2: str, n: int
+) -> DataFrame:
+    """Blocked twin of ``query.phrase.proximity_match`` (NEAR/n,
+    positional_index.py:318-393) → (doc_id). Same no-join shape as the
+    phrase kernel; the |Δpos| ≤ n check is 2n+1 vectorized np.isin
+    probes over the doc-relative keys (a position offset can never cross
+    a doc boundary — positions sit in the low 32 bits and real docs are
+    far shorter than 2^32 - n tokens)."""
+    sub = blocks.filter(F.col("term").isin(list({t1, t2})))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        keys: dict[str, np.ndarray] = {}
+        base = None
+        for r in pdf.itertuples(index=False):
+            d_rel, f, p = decode_pos_block(r.data, int(r.n), 0)
+            if base is None:
+                base = int(r.min_doc) - int(d_rel[0])
+            k = (np.repeat(d_rel, f) << _POS_BITS) + p
+            keys[r.term] = np.concatenate([keys[r.term], k]) if r.term in keys else k
+        if t1 not in keys or t2 not in keys:
+            return empty
+        k1, k2 = keys[t1], keys[t2]
+        hit = np.zeros(k1.shape, dtype=bool)
+        for d in range(-n, n + 1):
+            hit |= np.isin(k1 + d, k2)
+        docs_hit = np.unique(k1[hit] >> _POS_BITS)
+        return pd.DataFrame({"doc_id": (docs_hit + base).astype(np.int64)})
+
+    return sub.groupBy("block_key").applyInPandas(kernel, schema="doc_id long")

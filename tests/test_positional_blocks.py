@@ -92,3 +92,36 @@ def test_blocked_phrase_on_testdata(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     hits = _flat_vs_blocked(spark, docs, ["fast", "scan"], span_bits=8)
     assert hits  # driver PHRASE has matches at sf0.001
+
+
+def test_blocked_proximity_matches_flat(spark, mini_docs):
+    from news_information_retrieval_system_spark.query.phrase import proximity_match
+
+    flat = {
+        r["doc_id"]
+        for r in proximity_match(build_positional(mini_docs), "fast", "index", 2).collect()
+    }
+    blocks = build_positional_blocks(mini_docs, span_bits=1)
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        proximity_match_blocks,
+    )
+
+    blocked = {r["doc_id"] for r in proximity_match_blocks(blocks, "fast", "index", 2).collect()}
+    assert blocked == flat and flat
+
+
+def test_blocked_proximity_position_zero_negative_probe(spark):
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        proximity_match_blocks,
+    )
+
+    # t1 at position 0: the -n probes underflow into the previous doc's
+    # key space and must NOT false-positive against its positions
+    docs = spark.createDataFrame(
+        [(0, "x filler filler filler tail y"), (1, "y filler x")],
+        "doc_id long, text string",
+    )
+    blocks = build_positional_blocks(docs, span_bits=1)
+    out = {r["doc_id"] for r in proximity_match_blocks(blocks, "y", "x", 2).collect()}
+    # doc 0: y at 5, x at 0 -> dist 5 > 2 (no); doc 1: y at 0, x at 2 -> yes
+    assert out == {1}
