@@ -126,6 +126,7 @@ _PRIORITY: list[str] = [
     "mi_patterns",          # PAT-tree pattern mining via n-gram MI
     "phrase_blocked_docs",  # compressed-positional phrase kernel
     "near_blocked_docs",    # compressed-positional NEAR/n kernel
+    "window_blocked_docs",  # compressed-positional window kernel
     "ltr_train_coefs",      # rows-only (pyspark.ml LR, by design)
     "term_clusters_editdist",  # same absorption path as _cooc (in-window)
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —

@@ -94,6 +94,18 @@ def q_near_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-positional twin of window_docs (same oracle)."""
+    from .entry_queries import _docs
+    from .entry_queries_batch3 import WINDOW_N, WINDOW_TERMS
+    from .index.positional_blocks import build_positional_blocks, window_match_blocks
+
+    blocks = build_positional_blocks(_docs(spark, sf_dir))
+    return window_match_blocks(blocks, list(WINDOW_TERMS), WINDOW_N).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 PAT_N_MIN, PAT_N_MAX, PAT_MIN_FREQ = 2, 3, 10
 
 
@@ -328,6 +340,15 @@ ORACLES["phrase_blocked_docs"] = _ops_oracle("phrase_docs")
 ORACLES["near_blocked_docs"] = _ops_oracle("near_docs")
 
 
+def _batch3_oracle(name: str) -> str:
+    from .entry_queries_batch3 import ORACLES as _B3_ORACLES
+
+    return _B3_ORACLES[name]
+
+
+ORACLES["window_blocked_docs"] = _batch3_oracle("window_docs")
+
+
 def registry() -> dict:
     return {
         "eval_sig_test": q_eval_sig_test,
@@ -336,4 +357,5 @@ def registry() -> dict:
         "mi_patterns": q_mi_patterns,
         "phrase_blocked_docs": q_phrase_blocked_docs,
         "near_blocked_docs": q_near_blocked_docs,
+        "window_blocked_docs": q_window_blocked_docs,
     }

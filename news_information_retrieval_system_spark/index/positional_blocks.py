@@ -204,6 +204,53 @@ def phrase_match_blocks(blocks: DataFrame, terms: Sequence[str]) -> DataFrame:
     )
 
 
+def window_match_blocks(
+    blocks: DataFrame, terms: Sequence[str], window: int
+) -> DataFrame:
+    """Blocked twin of ``query.phrase.window_match`` → (doc_id): exists
+    one position per term with max-min < window. Mirrors the flat
+    implementation's anchor rule exactly — anchoring at the minimum
+    chosen position x, every other term needs a position in
+    [x, x+window); any term may hold the minimum, so OR over anchors.
+    Cost: k anchors × (k-1) terms × window np.isin probes — vectorized
+    over every occurrence in the block at once."""
+    if not terms:
+        raise ValueError("empty window query")
+    uniq = list(dict.fromkeys(terms))
+    sub = blocks.filter(F.col("term").isin(uniq))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        keys: dict[str, np.ndarray] = {}
+        base = None
+        for r in pdf.itertuples(index=False):
+            d_rel, f, p = decode_pos_block(r.data, int(r.n), 0)
+            if base is None:
+                base = int(r.min_doc) - int(d_rel[0])
+            k = (np.repeat(d_rel, f) << _POS_BITS) + p
+            keys[r.term] = np.concatenate([keys[r.term], k]) if r.term in keys else k
+        if any(t not in keys for t in uniq):
+            return empty
+        hits = []
+        for a in uniq:
+            xa = keys[a]
+            ok = np.ones(xa.shape, dtype=bool)
+            for t in uniq:
+                if t is a:
+                    continue
+                any_in = np.zeros(xa.shape, dtype=bool)
+                for d in range(window):
+                    any_in |= np.isin(xa + d, keys[t])
+                ok &= any_in
+                if not ok.any():
+                    break
+            hits.append(xa[ok] >> _POS_BITS)
+        docs_hit = np.unique(np.concatenate(hits))
+        return pd.DataFrame({"doc_id": (docs_hit + base).astype(np.int64)})
+
+    return sub.groupBy("block_key").applyInPandas(kernel, schema="doc_id long")
+
+
 def proximity_match_blocks(
     blocks: DataFrame, t1: str, t2: str, n: int
 ) -> DataFrame:

@@ -125,3 +125,36 @@ def test_blocked_proximity_position_zero_negative_probe(spark):
     out = {r["doc_id"] for r in proximity_match_blocks(blocks, "y", "x", 2).collect()}
     # doc 0: y at 5, x at 0 -> dist 5 > 2 (no); doc 1: y at 0, x at 2 -> yes
     assert out == {1}
+
+
+def test_blocked_window_matches_flat(spark, mini_docs):
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        window_match_blocks,
+    )
+    from news_information_retrieval_system_spark.query.phrase import window_match
+
+    for terms, w in [(["fast", "index"], 3), (["the", "fox", "index"], 4),
+                     (["scan", "table"], 5)]:
+        flat = {
+            r["doc_id"]
+            for r in window_match(build_positional(mini_docs), terms, w).collect()
+        }
+        blocks = build_positional_blocks(mini_docs, span_bits=1)
+        blocked = {
+            r["doc_id"] for r in window_match_blocks(blocks, terms, w).collect()
+        }
+        assert blocked == flat, (terms, w)
+
+
+def test_blocked_window_span_boundary(spark):
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        window_match_blocks,
+    )
+
+    # "a ... b" distance exactly window-1 matches; distance window does not
+    docs = spark.createDataFrame(
+        [(0, "a x b"), (1, "a x y b")], "doc_id long, text string"
+    )
+    blocks = build_positional_blocks(docs, span_bits=1)
+    out = {r["doc_id"] for r in window_match_blocks(blocks, ["a", "b"], 3).collect()}
+    assert out == {0}
