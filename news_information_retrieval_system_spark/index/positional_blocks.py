@@ -154,6 +154,58 @@ def build_positional_blocks(
     )
 
 
+def merge_positional_blocks(
+    blocks: DataFrame, span_bits: int = DEFAULT_SPAN_BITS
+) -> DataFrame:
+    """Incremental add for the positional face (reference
+    src/ir/index/incremental_builder.py semantics, mirroring
+    ``segments.merge_segments``): segment block tables from separate
+    builds are unioned and re-merged per (term, block_key) — straddling
+    blocks decode, concatenate, re-sort by (doc_id, pos) and re-encode;
+    blocks unique to one segment pass through untouched (cheap common
+    case). Doc ids may interleave across segments; a doc appearing in
+    two segments contributes the union of its occurrences."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf[
+                [
+                    "term", "block_key", "n", "min_doc", "max_doc",
+                    "n_pos", "nbytes", "data",
+                ]
+            ]
+        term = pdf["term"].iloc[0]
+        bk = int(pdf["block_key"].iloc[0])
+        base = bk << span_bits
+        ds, ps = [], []
+        for r in pdf.itertuples(index=False):
+            d, f, p = decode_pos_block(r.data, int(r.n), base)
+            ds.append(np.repeat(d, f))
+            ps.append(p)
+        d = np.concatenate(ds)
+        p = np.concatenate(ps)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        uniq, freqs = np.unique(d, return_counts=True)
+        blob = encode_pos_block(uniq, freqs, p, base)
+        return pd.DataFrame(
+            [
+                (
+                    term, bk, int(uniq.size), int(uniq[0]), int(uniq[-1]),
+                    int(p.size), len(blob), blob,
+                )
+            ],
+            columns=[
+                "term", "block_key", "n", "min_doc", "max_doc",
+                "n_pos", "nbytes", "data",
+            ],
+        )
+
+    return blocks.groupBy("term", "block_key").applyInPandas(
+        kernel, schema=POS_BLOCK_SCHEMA
+    )
+
+
 def phrase_match_blocks(blocks: DataFrame, terms: Sequence[str]) -> DataFrame:
     """Blocked twin of ``query.phrase.phrase_match`` → (doc_id,
     match_count). The term filter pushes down to the block scan; one

@@ -158,3 +158,40 @@ def test_blocked_window_span_boundary(spark):
     blocks = build_positional_blocks(docs, span_bits=1)
     out = {r["doc_id"] for r in window_match_blocks(blocks, ["a", "b"], 3).collect()}
     assert out == {0}
+
+
+def test_merge_positional_incremental_equals_rebuild(spark, mini_docs):
+    from news_information_retrieval_system_spark.index.positional_blocks import (
+        merge_positional_blocks,
+    )
+
+    # interleaved halves so doc ranges straddle segments
+    a = mini_docs.filter("doc_id % 2 = 0")
+    b = mini_docs.filter("doc_id % 2 = 1")
+    sb = 1
+    merged = merge_positional_blocks(
+        build_positional_blocks(a, span_bits=sb).unionByName(
+            build_positional_blocks(b, span_bits=sb)
+        ),
+        span_bits=sb,
+    )
+    full = build_positional_blocks(mini_docs, span_bits=sb)
+
+    for terms in (["the", "index"], ["fast", "index"]):
+        got = {
+            (r["doc_id"], r["match_count"])
+            for r in phrase_match_blocks(merged, terms).collect()
+        }
+        want = {
+            (r["doc_id"], r["match_count"])
+            for r in phrase_match_blocks(full, terms).collect()
+        }
+        assert got == want and want
+
+    # the merged block table is byte-identical to the rebuild
+    key = lambda rows: {
+        (r["term"], r["block_key"]): (r["n"], r["min_doc"], r["max_doc"],
+                                      r["n_pos"], bytes(r["data"]))
+        for r in rows
+    }
+    assert key(merged.collect()) == key(full.collect())
