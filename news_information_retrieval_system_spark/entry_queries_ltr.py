@@ -8,9 +8,12 @@
   principles in DuckDB.
 * ltr_train_coefs — learning_to_rank_training_service.py:38-122
   standardized balanced logistic regression on those rows. Iterative
-  L-BFGS optimization is not SQL-expressible, so this entry has no
-  oracle_sql (the driver records the weaker rows-only check); the pytest
-  suite pins determinism, class handling, and coefficient sanity.
+  L-BFGS optimization is not SQL-derivable, so the oracle is a
+  DETERMINISM DRIFT-GATE: the pinned VALUES are the seeded training
+  output, verified identical across three fresh JVMs AND across
+  local[8]/local[32] (the float-summation-order probe). The pytest
+  suite additionally pins determinism, class handling, and coefficient
+  sanity.
 """
 
 from __future__ import annotations
@@ -66,11 +69,36 @@ def q_ltr_train_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coefs, _report = ltr_train(feats)
     return coefs.orderBy("feature").select(
-        "feature", F.round("coefficient", 6).alias("coefficient"), "direction"
+        "feature",
+        # integer micro-coefficient (×1e6): the pinned oracle compares
+        # exact longs, never float-literal parses
+        F.round(F.col("coefficient") * 1000000).cast("long").alias("coef_e6"),
+        "direction",
     )
 
 
 ORACLES: dict[str, str] = {}
+
+# ltr_train_coefs: expected standardized balanced-LR output at sf0.01.
+# L-BFGS is not SQL-derivable, so this is a determinism DRIFT-GATE (same
+# framing as lda_topics): pin verified identical across three fresh JVMs
+# and across local[8]/local[32]; any change to the feature expansion,
+# standardization, or class weighting fails the hash.
+_LTR_COEF_EXPECTED = [
+    ("__intercept__", -460895, "negative"),
+    ("bm25_score", 1819447, "positive"),
+    ("dl", 1834342, "positive"),
+    ("lm_score", 712720, "positive"),
+    ("match_count", -658535, "negative"),
+    ("query_term_count", -658535, "negative"),
+    ("tfidf_score", -804750, "negative"),
+]
+ORACLES["ltr_train_coefs"] = (
+    "SELECT feature, cast(coef_e6 AS BIGINT) AS coef_e6, direction\n"
+    "FROM (VALUES "
+    + ", ".join(f"('{f}', {c}, '{d}')" for f, c, d in _LTR_COEF_EXPECTED)
+    + ") AS t(feature, coef_e6, direction)"
+)
 
 ORACLES["ltr_features"] = f"""{_SQL_BASE},
 {_SQL_BM25_SCORED},

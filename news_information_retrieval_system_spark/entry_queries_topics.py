@@ -2,9 +2,13 @@
 
 * lda_topics — lda_model.py:222-356 (fit + get_topics): per-topic top
   words from a seeded EM LDA. Iterative Bayesian EM is not
-  SQL-expressible, so there is no oracle_sql entry (the driver records
-  the weaker rows-only check); tests/test_topics.py pins shape,
-  probability sanity, and same-seed determinism.
+  SQL-derivable, so the oracle is a DETERMINISM DRIFT-GATE, not a
+  cross-implementation re-derivation: the pinned VALUES are the seeded
+  EM output, verified identical across four fresh JVMs AND across
+  local[8]/local[32] (the float-summation-order probe), so any semantic
+  drift in tokenize→CountVectorizer→EM wiring fails the hash.
+  tests/test_topics.py additionally pins shape, probability sanity, and
+  same-seed determinism.
 """
 
 from __future__ import annotations
@@ -25,10 +29,13 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=LDA_TOPN, seed=LDA_SEED,
     )
     return out.select(
-        "topic",
-        "rank",
+        F.col("topic").cast("long").alias("topic"),
+        F.col("rank").cast("long").alias("rank"),
         "term",
-        F.round("weight", 6).alias("weight"),
+        # integer micro-weight (×1e6) so the pinned oracle compares exact
+        # longs, never float-literal parses (same e5/e6 convention as
+        # ltr_features / rocchio_terms)
+        F.round(F.col("weight") * 1000000).cast("long").alias("weight_e6"),
     ).orderBy("topic", "rank")
 
 
@@ -78,7 +85,34 @@ _HAC_EXPECTED = [
     (36, 0), (37, 3), (38, 10), (39, 3),
 ]
 
-ORACLES: dict[str, str] = {}  # iterative EM (lda_topics) stays rows-only
+# lda_topics: expected seeded EM output at sf0.01 (k=4, 8 iters, top-8,
+# seed=42). Iterative EM is not SQL-derivable, so this is a determinism
+# DRIFT-GATE (VERDICT r3 #9's endorsed upgrade from rows-only): the pin
+# was verified identical across four fresh JVMs and across
+# local[8]/local[32]; testdata is deterministic (TESTDATA.md seed=42).
+_LDA_EXPECTED = [
+    (0, 1, "column", 36351), (0, 2, "join", 35814), (0, 3, "batch", 35069),
+    (0, 4, "agg", 34997), (0, 5, "big", 34892), (0, 6, "table", 34798),
+    (0, 7, "data", 34751), (0, 8, "row", 34620),
+    (1, 1, "customer", 36986), (1, 2, "hash", 36933), (1, 3, "batch", 36060),
+    (1, 4, "group", 34858), (1, 5, "table", 34680), (1, 6, "filter", 34378),
+    (1, 7, "line", 34342), (1, 8, "slow", 34322),
+    (2, 1, "join", 36978), (2, 2, "row", 35868), (2, 3, "column", 35597),
+    (2, 4, "filter", 35035), (2, 5, "slow", 34897), (2, 6, "stream", 34603),
+    (2, 7, "small", 34422), (2, 8, "data", 34377),
+    (3, 1, "scan", 37722), (3, 2, "order", 35899), (3, 3, "join", 35531),
+    (3, 4, "row", 35278), (3, 5, "merge", 35193), (3, 6, "hash", 34783),
+    (3, 7, "slow", 34757), (3, 8, "vector", 34703),
+]
+
+ORACLES: dict[str, str] = {}
+ORACLES["lda_topics"] = (
+    "SELECT cast(topic AS BIGINT) AS topic, cast(rank AS BIGINT) AS rank,\n"
+    "       term, cast(weight_e6 AS BIGINT) AS weight_e6\n"
+    "FROM (VALUES "
+    + ", ".join(f"({t}, {r}, '{w}', {e})" for t, r, w, e in _LDA_EXPECTED)
+    + ") AS t(topic, rank, term, weight_e6)"
+)
 ORACLES["hier_clusters"] = (
     "SELECT cast(doc_id AS BIGINT) AS doc_id, cast(cluster AS BIGINT) AS cluster\n"
     "FROM (VALUES "
