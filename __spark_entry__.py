@@ -87,7 +87,9 @@ _PRIORITY: list[str] = [
     "model_unique_docs",    # Q27 unique-docs payload
     "model_rank_changes",   # Q27 rank-span payload
     "contract_violations",
-    "normalized_records",
+    # (normalized_records parked past the window: same data-contract
+    # module as in-window contract_violations, which counts rejects per
+    # rule; the normalize output is additionally pytest-pinned)
     "model_overlap",
     "query_suggestions",
     "json_docs",
@@ -103,6 +105,9 @@ _PRIORITY: list[str] = [
     "repetition_stats",     # Gopher-style duplicate/top-bigram signals
     "split_leakage",        # cross-split exact-copy leak detector
     "curation_accounting",  # composed curate_corpus: per-stage counts
+    "duplicate_spans",      # cross-doc repeated-span marking (exact-
+                            # substring-dedup marking pass, interval-
+                            # union coverage oracle)
     "packed_examples",      # inverse packing map — oracle re-derives the
                             # FULL placement + slice math (supersedes the
                             # packed_sequences check, same code path)
@@ -120,6 +125,8 @@ _PRIORITY: list[str] = [
     # split_leakage's oracle)
     # ---------------------------------------------------------------------
     # everything below is past the driver's 50-entry window this round:
+    "normalized_records",   # data-contract normalize output (module
+                            # gated in-window by contract_violations)
     "packed_sequences",     # placement map (implied by packed_examples)
     "packing_stats",        # aggregate over the placement map
     "pr_curve",             # 11-point interpolated PR (oracle-backed)

@@ -119,6 +119,28 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- duplicate spans
+DUPSPAN_K = 5
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span marking (exact-substring-dedup
+    marking pass at 5-gram granularity) over the documents table — the
+    planted near-dup families share long verbatim runs, so the span
+    marker must find exactly those. The oracle re-derives the whole
+    pipeline — gram slide, ≥2-distinct-docs dictionary, interval-union
+    coverage — from first principles in DuckDB."""
+    from .ops.curation import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=DUPSPAN_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_grams",
+        "n_dup_grams",
+        "dup_tokens",
+    )
+
+
 # ---------------------------------------------------------- split leakage
 LEAK_MOD = 17
 LEAK_OFFSET = 100000
@@ -610,9 +632,41 @@ GROUP BY lang
 """
 
 
+ORACLES["duplicate_spans"] = f"""{_SQL_TOKS},
+g AS (
+  SELECT doc_id, l, len(l) AS n_tokens,
+         unnest(generate_series(1, len(l) - {DUPSPAN_K} + 1)) AS pos
+  FROM tt WHERE len(l) >= {DUPSPAN_K}
+),
+g2 AS (
+  SELECT doc_id, n_tokens, pos,
+         array_to_string(l[pos:pos+{DUPSPAN_K}-1], ' ') AS gram
+  FROM g
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g2 GROUP BY gram
+  ) WHERE nd >= 2
+),
+cov AS (
+  SELECT doc_id, n_tokens, pos,
+         least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          - pos, {DUPSPAN_K}), {DUPSPAN_K}) AS cover
+  FROM g2 JOIN dup USING (gram)
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(n_tokens AS BIGINT) AS n_tokens,
+       cast(n_tokens - {DUPSPAN_K} + 1 AS BIGINT) AS n_grams,
+       cast(count(*) AS BIGINT) AS n_dup_grams,
+       cast(sum(cover) AS BIGINT) AS dup_tokens
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
+
 def registry() -> dict:
     return {
         "dataset_splits": q_dataset_splits,
+        "duplicate_spans": q_duplicate_spans,
         "contamination_overlap": q_contamination_overlap,
         "pii_redacted": q_pii_redacted,
         "token_length_histogram": q_token_length_histogram,

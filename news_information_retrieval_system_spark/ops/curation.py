@@ -201,6 +201,78 @@ def repetition_stats(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document repeated-span marking — the marking pass of
+    exact-substring deduplication (the dedup-literature complement to
+    MinHash: remove text that appears verbatim in more than one
+    document), approximated at k-gram granularity: a token is
+    *duplicated* iff it lies inside at least one k-gram that occurs in
+    ≥ 2 distinct documents. Within-doc repetition alone does NOT mark
+    (that signal is ``repetition_stats``).
+
+    One row per document containing ≥ 1 duplicated gram:
+    ``(doc_id, n_tokens, n_grams, n_dup_grams, dup_tokens)`` — all
+    integer-exact. ``dup_tokens`` is the size of the union of the
+    length-k intervals starting at each duplicated gram position
+    (fixed-length interval union via one lead() window: each start
+    covers ``min(next_start − start, k)`` tokens, the last covers k).
+
+    Plan/scale: tokenize → JVM k-gram slide (no Python) →
+    (1) duplicated-gram dictionary via two map-side-combinable aggs
+    (distinct (gram, doc_id), then groupBy(gram).count) — a hot gram
+    reaches the final agg as one row per upstream partition, never one
+    per occurrence; (2) occurrence rows re-join the dictionary on gram —
+    a 1:1 enrich, NOT a shingle self-join, so there is no pair
+    explosion; (3) one doc_id window for the interval union. k ≥ 5
+    grams are drastically flatter than unigrams, so the gram-keyed
+    shuffles carry no stopword-grade skew.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    ).filter(F.size("t") >= k)
+    g = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = g.join(dup, "gram").withColumn(
+        "cover",
+        F.least(
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)), F.lit(k)
+        ),
+    )
+    return (
+        cov.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum("cover").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - k + 1).cast("long").alias("n_grams"),
+            "n_dup_grams",
+            "dup_tokens",
+        )
+    )
+
+
 def token_length_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -315,3 +315,53 @@ def test_example_map_invariants(spark):
     em3 = example_map(docs, seq_len=seq_len, num_ranges=2).collect()
     key = lambda r: (r["example_id"], r["doc_id"], r["off_in_doc"], r["n_in_example"])
     assert sorted(map(key, em)) == sorted(map(key, em3))
+
+
+def test_duplicate_spans_marks_cross_doc_only(spark):
+    from news_information_retrieval_system_spark.ops.curation import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 0 and 1 share the 6-token run "one two three four five six"
+            # → with k=5, dup gram starts at pos 0 and 1 in doc 0
+            (0, "one two three four five six unique0 tail0 tail1 tail2"),
+            (1, "pre0 pre1 one two three four five six post0"),
+            # doc 2: INTERNAL repetition only ("a b c d e" twice) — k-grams
+            # repeat within the doc but in no other doc → must be absent
+            (2, "a b c d e a b c d e"),
+            # doc 3: no overlap with anything
+            (3, "w x y z q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, k=5).collect()}
+    assert set(out) == {0, 1}
+    # doc 0: 10 tokens, grams at 0..5 (6 grams); dup starts {0, 1} →
+    # union of [0,4] and [1,5] = 6 tokens
+    assert out[0]["n_tokens"] == 10
+    assert out[0]["n_grams"] == 6
+    assert out[0]["n_dup_grams"] == 2
+    assert out[0]["dup_tokens"] == 6
+    # doc 1: 9 tokens, dup starts {2, 3} → union [2,6]∪[3,7] = 6 tokens
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["dup_tokens"] == 6
+
+
+def test_duplicate_spans_disjoint_and_adjacent_intervals(spark):
+    from news_information_retrieval_system_spark.ops.curation import duplicate_spans
+
+    # shared spans "c0 c1 c2" (k=3) at positions far apart in doc 0:
+    # starts {0, 10} → disjoint intervals → 3 + 3 = 6 covered tokens
+    filler = " ".join(f"f{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (0, f"c0 c1 c2 {filler} c0 c1 c2"),
+            (1, "c0 c1 c2 other tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, k=3).collect()}
+    assert out[0]["n_dup_grams"] == 2
+    assert out[0]["dup_tokens"] == 6
+    assert out[1]["n_dup_grams"] == 1
+    assert out[1]["dup_tokens"] == 3
