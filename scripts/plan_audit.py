@@ -319,6 +319,47 @@ def main() -> int:
         "doc_id isn't needed for corpus-wide counts — Catalyst drops it",
     )
 
+    # -------------------------------------------------- duplicate spans
+    from news_information_retrieval_system_spark.ops.curation import (
+        duplicate_spans,
+    )
+
+    ds = duplicate_spans(docs, k=5)
+    p = explain_str(ds)
+    dumps.append(("duplicate_spans (exact-substring span marking)", p))
+    check(
+        "duplicate_spans",
+        "gram slide + coverage all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "the k-gram slide is a transform/slice expression, not a UDF",
+    )
+    check(
+        "duplicate_spans",
+        "occurrence re-join is an equi hash join, not cartesian",
+        "CartesianProduct" not in p
+        and (
+            "BroadcastHashJoin" in p
+            or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p
+        ),
+        "1:1 dictionary enrich on gram — no shingle self-join pair "
+        "blowup; at test SF the dictionary is small enough that AQE "
+        "broadcasts it, at 100 TB the same plan degrades gracefully to "
+        "a gram-keyed shuffle join",
+    )
+    check(
+        "duplicate_spans",
+        "partial aggregation before the gram exchange",
+        "partial_count" in p or "HashAggregate" in p,
+        "hot grams reach the final agg one row per upstream partition",
+    )
+    check(
+        "duplicate_spans",
+        "scan prunes to (doc_id, text)",
+        "ReadSchema: struct<doc_id:bigint,text:string>" in p,
+        "",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
