@@ -127,6 +127,8 @@ _PRIORITY: list[str] = [
     # everything below is past the driver's 50-entry window this round:
     "normalized_records",   # data-contract normalize output (module
                             # gated in-window by contract_violations)
+    "shuffle_order",        # deterministic training-order shuffle
+                            # (salted-md5 shard + within-shard rank)
     "packed_sequences",     # placement map (implied by packed_examples)
     "packing_stats",        # aggregate over the placement map
     "pr_curve",             # 11-point interpolated PR (oracle-backed)

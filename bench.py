@@ -135,6 +135,7 @@ def main() -> None:
         # minhash aggregates) carry their own codegen/JIT first-run cost
         # — measured 88 s cold vs 8 s warm at 200k turns
         from news_information_retrieval_system_spark.ops.curation import (
+            duplicate_spans,
             pack_sequences,
         )
         from news_information_retrieval_system_spark.ops.pipeline import (
@@ -143,6 +144,7 @@ def main() -> None:
 
         pack_sequences(wdocs, seq_len=2048).count()
         curate_corpus(wdocs, None, redact_pii=True)
+        duplicate_spans(wdocs, k=5).count()
     for df in (wblk, wq):
         df.unpersist()
     widx.unpersist()
@@ -213,10 +215,15 @@ def main() -> None:
         t0 = time.time()
         _, cstats = curate_corpus(docs, None, redact_pii=True)
         ctimes["curate"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_span_docs = duplicate_spans(docs, k=5).count()
+        ctimes["dup_spans"] = round(time.time() - t0, 3)
         curation = {
             "times": ctimes,
             "pack_turns_per_sec": round(n_placed / ctimes["pack"], 1),
             "curate_turns_per_sec": round(n_turns / ctimes["curate"], 1),
+            "dup_spans_turns_per_sec": round(n_turns / ctimes["dup_spans"], 1),
+            "n_span_docs": n_span_docs,
             "curate_stats": cstats,
         }
     build_sec = times["build_flat"] + times["build_blocked"]

@@ -141,6 +141,22 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- order shuffle
+SHUF_SHARDS = 8
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle over the documents table:
+    per-doc (shard, pos) placement, reproducible on any engine. The
+    oracle recomputes the salted-md5 bucket, mod-shard, and within-shard
+    rank from first principles."""
+    from .ops.curation import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=SHUF_SHARDS).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "shard", "pos"
+    )
+
+
 # ---------------------------------------------------------- split leakage
 LEAK_MOD = 17
 LEAK_OFFSET = 100000
@@ -663,10 +679,32 @@ FROM cov GROUP BY doc_id, n_tokens
 """
 
 
+ORACLES["shuffle_order"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5('shuf:' || cast(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+),
+b AS (
+  SELECT doc_id, sort_key,
+         ((instr('0123456789abcdef', substring(sort_key, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(sort_key, 2, 1)) - 1))
+           % {SHUF_SHARDS} AS shard
+  FROM s
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(shard AS BIGINT) AS shard,
+       cast(row_number() OVER (PARTITION BY shard
+                               ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+FROM b
+"""
+
+
 def registry() -> dict:
     return {
         "dataset_splits": q_dataset_splits,
         "duplicate_spans": q_duplicate_spans,
+        "shuffle_order": q_shuffle_order,
         "contamination_overlap": q_contamination_overlap,
         "pii_redacted": q_pii_redacted,
         "token_length_histogram": q_token_length_histogram,

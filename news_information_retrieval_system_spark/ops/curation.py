@@ -449,6 +449,52 @@ def hash_stratified_sample(
     return docs.filter(bucket < thr)
 
 
+_HEXDIGITS = "0123456789abcdef"
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the standard step
+    between curation and packing: every row gets a pseudo-random but
+    exactly reproducible position ``(shard, pos)``; consumers stream
+    shards in pos order for a decorrelated training stream that is
+    byte-identical on any cluster size, partitioning, or engine.
+
+    shard = salted-md5 256-bucket index mod ``n_shards`` (the same /256
+    quantization convention as ``hash_stratified_sample`` — bucket index
+    derived with instr() over the hex alphabet, so an independent SQL
+    engine reproduces it without hex→int casts); pos = rank of the full
+    salted hash within the shard (the unique id embedded in the hash
+    input plus an id tiebreak make ties impossible).
+
+    Plan/scale: one narrow hash projection + ONE shard-keyed exchange
+    with a within-shard sort — the minimal physical cost of any global
+    shuffle. The md5 key is uniform, so shards are balanced by
+    construction; ``n_shards`` is the caller's partition-sizing dial
+    (corpus_bytes / n_shards ≈ target file size).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    # SQL instr() so both operands can be expressions — identical spelling
+    # in DuckDB (instr == strpos, 1-based)
+    bucket = F.expr(
+        f"(instr('{_HEXDIGITS}', substring(sort_key, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEXDIGITS}', substring(sort_key, 2, 1)) - 1)"
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), key.alias("sort_key"))
+        .withColumn("shard", (bucket % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def perplexity_flags(
     docs: DataFrame,
     max_perplexity: float,

@@ -365,3 +365,35 @@ def test_duplicate_spans_disjoint_and_adjacent_intervals(spark):
     assert out[0]["dup_tokens"] == 6
     assert out[1]["n_dup_grams"] == 1
     assert out[1]["dup_tokens"] == 3
+
+
+def test_shuffle_shards_deterministic_and_partitioning_invariant(spark):
+    import hashlib
+
+    from news_information_retrieval_system_spark.ops.curation import shuffle_shards
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(docs, n_shards=8)
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    assert len(rows) == 500
+    # python mirror: shard from first two md5 hex chars, pos = rank of
+    # full hash within shard
+    expect = {}
+    for i in range(500):
+        h = hashlib.md5(f"shuf:{i}".encode()).hexdigest()
+        expect[i] = (int(h[:2], 16) % 8, h)
+    for shard in range(8):
+        members = sorted(
+            (h, i) for i, (s, h) in expect.items() if s == shard
+        )
+        for pos, (_, i) in enumerate(members, 1):
+            assert rows[i] == (shard, pos), (i, rows[i], (shard, pos))
+    # partitioning invariance: same placement at a different parallelism
+    out2 = shuffle_shards(docs.repartition(7), n_shards=8)
+    rows2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in out2.collect()}
+    assert rows == rows2
+    # shards are balanced within md5-uniformity tolerance
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in rows.values())
+    assert all(30 < sizes[s] < 100 for s in range(8)), sizes
