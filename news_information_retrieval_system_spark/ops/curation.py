@@ -202,7 +202,11 @@ def repetition_stats(
 
 
 def duplicate_spans(
-    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-span marking — the marking pass of
     exact-substring deduplication (the dedup-literature complement to
@@ -228,18 +232,27 @@ def duplicate_spans(
     explosion; (3) one doc_id window for the interval union. k ≥ 5
     grams are drastically flatter than unigrams, so the gram-keyed
     shuffles carry no stopword-grade skew.
+
+    ``hash_grams=True`` replaces the gram string with ``xxhash64(gram)``
+    BEFORE the shuffles — 8-byte fixed keys instead of ~(6k)-byte
+    strings through both exchanges and the join. This is the 100 TB
+    configuration; it admits a 2⁻⁶⁴-per-pair false "duplicated" mark on
+    hash collision, which is why the oracle-checked default stays exact
+    strings (outputs are pytest-pinned identical on real corpora).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
     ).filter(F.size("t") >= k)
+    gram_of = (
+        (lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, k))))
+        if hash_grams
+        else (lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)))
+    )
     g = toks.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - k),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-            )
+            F.transform(F.sequence(F.lit(0), F.size("t") - k), gram_of)
         ).alias("pos", "gram"),
     )
     dup = (

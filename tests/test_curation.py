@@ -397,3 +397,17 @@ def test_shuffle_shards_deterministic_and_partitioning_invariant(spark):
 
     sizes = Counter(s for s, _ in rows.values())
     assert all(30 < sizes[s] < 100 for s in range(8)), sizes
+
+
+def test_duplicate_spans_hash_grams_identical(spark):
+    """The 100 TB configuration (8-byte xxhash64 gram keys through the
+    shuffles) must produce the same marking as exact strings on a real
+    corpus slice."""
+    from news_information_retrieval_system_spark.ops.curation import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(map(tuple, duplicate_spans(docs, k=5).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs, k=5, hash_grams=True).collect()))
+    assert a == b and len(a) > 0
