@@ -166,10 +166,12 @@ def _ordered(merged: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
+    from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.registry(),
+        **EQR7.registry(),
         **EQCUR.registry(),
         **EQ.registry(),
         **EQO.registry(),
@@ -188,10 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
+    from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.ORACLES,
+        **EQR7.ORACLES,
         **EQCUR.ORACLES,
         **EQ.ORACLES,
         **EQO.ORACLES,
