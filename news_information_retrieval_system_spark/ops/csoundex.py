@@ -193,6 +193,58 @@ def fuzzy_similarity_col(codes_a: Column, codes_b: Column) -> Column:
     )
 
 
+def find_similar(
+    queries: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.6,
+    topk: int | None = None,
+    query_id_col: str = "query_id",
+    cand_id_col: str = "doc_id",
+    codes_col: str = "csoundex",
+) -> DataFrame:
+    """Distributed find_similar (csoundex.py:495-533): every query is
+    scored against every candidate (the reference's brute-force scan),
+    kept at ``sim >= threshold``, ranked descending, head-``topk``.
+
+    Both inputs carry pre-encoded code strings (from :func:`encode_text`).
+    The query set is broadcast — the candidate table never shuffles for
+    the pairing — and the similarity is a pure array expression, so the
+    scan side stays in whole-stage codegen at any corpus size. Ties
+    break on candidate id ascending (repo-wide deterministic-ties rule;
+    the reference's Python sort is merely stable in list order)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(codes_col).alias("_qcodes"),
+        )
+    )
+    scored = (
+        candidates.crossJoin(q)
+        .withColumn(
+            "similarity",
+            fuzzy_similarity_col(F.col("_qcodes"), F.col(codes_col)),
+        )
+        .where(F.col("similarity") >= threshold)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(cand_id_col),
+            "similarity",
+        )
+    )
+    if topk is None:
+        return scored
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc(cand_id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .drop("rank")
+    )
+
+
 def homophone_groups(
     coded: DataFrame, term_col: str = "term", code_col: str = "code"
 ) -> DataFrame:

@@ -360,6 +360,49 @@ def main() -> int:
         "",
     )
 
+    # ------------------------------------------------ csoundex find_similar
+    from news_information_retrieval_system_spark.ops.csoundex import (
+        csoundex_code_col,
+        find_similar,
+    )
+
+    # corpus terms → codes (the phonetic-expansion input), tiny query side
+    cands = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+        .select(
+            F.col("term").alias("doc_id"),
+            csoundex_code_col(F.col("term")).alias("csoundex"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "F14"), ("q2", "S99")], "query_id string, csoundex string"
+    )
+    fs = find_similar(qdf, cands, threshold=0.6, topk=8)
+    p = explain_str(fs)
+    dumps.append(("csoundex find_similar (phonetic candidate scan)", p))
+    check(
+        "csoundex_similar",
+        "query side broadcast (candidates never shuffle to pair)",
+        "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+        "the documented brute-force scan: tiny query set × full term "
+        "dictionary — broadcast is the only acceptable pairing plan",
+    )
+    check(
+        "csoundex_similar",
+        "encoder + similarity all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "pinyin parse, bucket lookup, and zip_with similarity are pure "
+        "Column expressions",
+    )
+    check(
+        "csoundex_similar",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "partial top-k per partition before the rank exchange",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report

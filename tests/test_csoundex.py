@@ -121,6 +121,41 @@ def test_homophone_groups(spark):
     assert rows[0]["rep_term"] == "zhang1"
 
 
+def test_find_similar(spark):
+    """find_similar semantics (csoundex.py:495-533): threshold is >=,
+    ranking descending, head-topk, homophones score 1.0."""
+    from news_information_retrieval_system_spark.ops.csoundex import (
+        find_similar,
+    )
+
+    lex = spark.createDataFrame(LEXICON, "char string, pinyin string")
+    cands = encode_text(
+        spark.createDataFrame(
+            [(1, "張三"), (2, "張四"), (3, "一五"), (4, "張三世")],
+            "doc_id int, text string",
+        ),
+        lex,
+    )
+    q = encode_text(
+        spark.createDataFrame([(10, "張三")], "doc_id int, text string"), lex
+    ).withColumnRenamed("doc_id", "query_id")
+
+    rows = find_similar(q, cands, threshold=0.5, topk=8).collect()
+    got = {r["doc_id"]: r["similarity"] for r in rows}
+    # 張三 vs 張三 = 1.0; vs 張四 = 1/2; vs 張三世 = 2/3 (zip truncates,
+    # normalized by the longer length); 一五 (Y01?) shares nothing → out
+    assert got == {1: 1.0, 2: 0.5, 4: 2.0 / 3.0}
+
+    top1 = find_similar(q, cands, threshold=0.5, topk=1).collect()
+    assert [(r["doc_id"], r["similarity"]) for r in top1] == [(1, 1.0)]
+
+    # threshold is inclusive (sim >= threshold, reference :522)
+    at_half = find_similar(q, cands, threshold=0.5).where(
+        F.col("similarity") == 0.5
+    ).count()
+    assert at_half == 1
+
+
 def test_driver_entries_match_oracle(spark):
     """Local replica of the driver gate for the two new entries."""
     import duckdb
