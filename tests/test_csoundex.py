@@ -157,7 +157,7 @@ def test_find_similar(spark):
 
 
 def test_driver_entries_match_oracle(spark):
-    """Local replica of the driver gate for the two new entries."""
+    """Local replica of the driver gate for every r7 registry entry."""
     import duckdb
 
     from news_information_retrieval_system_spark import entry_queries_r7 as R7
