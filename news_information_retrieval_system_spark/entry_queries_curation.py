@@ -141,6 +141,24 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup REMOVAL pass: cut every cross-doc
+    duplicated 5-gram span and re-join the survivors. The oracle
+    re-derives the full chain — gram dictionary, gaps-and-islands merge
+    of duplicated starts, per-token coverage anti-join, text
+    reconstruction (md5-compared) — from first principles."""
+    from .ops.curation import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(spark, sf_dir), k=DUPSPAN_K)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_kept",
+        "n_removed",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------- order shuffle
 SHUF_SHARDS = 8
 
@@ -679,6 +697,62 @@ FROM cov GROUP BY doc_id, n_tokens
 """
 
 
+ORACLES["span_removed_docs"] = f"""{_SQL_TOKS},
+g AS (
+  SELECT doc_id, l, len(l) AS n_tokens,
+         unnest(generate_series(1, len(l) - {DUPSPAN_K} + 1)) AS pos
+  FROM tt WHERE len(l) >= {DUPSPAN_K}
+),
+g2 AS (
+  SELECT doc_id, pos,
+         array_to_string(l[pos:pos+{DUPSPAN_K}-1], ' ') AS gram
+  FROM g
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g2 GROUP BY gram
+  ) WHERE nd >= 2
+),
+st AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {DUPSPAN_K} THEN 1 ELSE 0 END AS b
+  FROM st
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {DUPSPAN_K} AS e
+  FROM isl GROUP BY doc_id, isl
+),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS p
+  FROM tt
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.p
+  FROM tokpos t
+  LEFT JOIN iv ON t.doc_id = iv.doc_id AND t.p >= iv.s AND t.p < iv.e
+  WHERE iv.doc_id IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT cast(tt.doc_id AS BIGINT) AS doc_id,
+       cast(len(tt.l) AS BIGINT) AS n_tokens,
+       cast(coalesce(clean.n_kept, 0) AS BIGINT) AS n_kept,
+       cast(len(tt.l) - coalesce(clean.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(clean.txt, '')) AS clean_md5
+FROM tt LEFT JOIN clean ON tt.doc_id = clean.doc_id
+"""
+
 ORACLES["shuffle_order"] = f"""
 WITH s AS (
   SELECT doc_id,
@@ -704,6 +778,7 @@ def registry() -> dict:
     return {
         "dataset_splits": q_dataset_splits,
         "duplicate_spans": q_duplicate_spans,
+        "span_removed_docs": q_span_removed_docs,
         "shuffle_order": q_shuffle_order,
         "contamination_overlap": q_contamination_overlap,
         "pii_redacted": q_pii_redacted,

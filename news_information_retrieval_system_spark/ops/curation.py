@@ -286,6 +286,96 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The removal pass of exact-substring deduplication: cut every
+    cross-document duplicated k-gram span out of the text (the
+    complement of ``duplicate_spans``, which only marks). A token is
+    removed iff it lies inside at least one k-gram occurring in ≥ 2
+    distinct documents — the remaining tokens are re-joined with single
+    spaces. Returns one row per input document:
+    ``(doc_id, text, n_tokens, n_kept, n_removed)`` with
+    ``n_removed`` equal to ``duplicate_spans().dup_tokens`` by
+    construction (invariant-tested).
+
+    Plan/scale: shares the marking pass's shape (dictionary via two
+    map-side-combinable aggs, 1:1 occurrence enrich — no self-join),
+    then compresses the duplicated starts into merged coverage islands
+    (gaps-and-islands: one lag window + one groupBy on doc_id — island
+    rows ≪ gram rows), collects the few islands per doc into an array,
+    and drops covered tokens JVM-side with an index-aware ``filter``
+    over the token array (O(n_tokens × n_islands) per doc, no Python).
+    The island array per doc is bounded by n_tokens/k, in practice a
+    handful — never a per-token join.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    big = toks.filter(F.size("t") >= k)
+    gram_of = (
+        (lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, k))))
+        if hash_grams
+        else (lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)))
+    )
+    g = big.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("t") - k), gram_of)
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    starts = g.join(dup, "gram").select("doc_id", "pos")
+    # gaps-and-islands over the duplicated starts: a new island begins
+    # when the previous start's k-cover cannot reach this one.
+    islands = (
+        starts.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn("isl", F.sum("brk").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"))
+    )
+    kept = F.filter(
+        "t",
+        lambda tok, i: ~F.exists(
+            "iv", lambda x: (i >= x["s"]) & (i < x["e"])
+        ),
+    )
+    return (
+        toks.join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("iv").isNull(), F.col("t"))
+            .otherwise(kept)
+            .alias("kept"),
+            F.size("t").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias(text_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def token_length_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

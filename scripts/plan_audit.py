@@ -360,6 +360,35 @@ def main() -> int:
         "",
     )
 
+    # -------------------------------------------- remove_duplicate_spans
+    from news_information_retrieval_system_spark.ops.curation import (
+        remove_duplicate_spans,
+    )
+
+    rs = remove_duplicate_spans(docs, k=5)
+    p = explain_str(rs)
+    dumps.append(("remove_duplicate_spans (exact-substring span removal)", p))
+    check(
+        "remove_duplicate_spans",
+        "islands merge + token drop all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "gaps-and-islands is lag+sum windows; the covered-token drop is "
+        "a nested higher-order filter/exists over the token array",
+    )
+    check(
+        "remove_duplicate_spans",
+        "coverage applied per-doc via array join, never a per-token range join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "islands are collected to a per-doc array (bounded by n_tokens/k) "
+        "and joined 1:1 on doc_id — token×interval pairs never shuffle",
+    )
+    check(
+        "remove_duplicate_spans",
+        "scan prunes to (doc_id, text)",
+        "ReadSchema: struct<doc_id:bigint,text:string>" in p,
+        "",
+    )
+
     # ------------------------------------------------ csoundex find_similar
     from news_information_retrieval_system_spark.ops.csoundex import (
         csoundex_code_col,

@@ -411,3 +411,86 @@ def test_duplicate_spans_hash_grams_identical(spark):
     a = sorted(map(tuple, duplicate_spans(docs, k=5).collect()))
     b = sorted(map(tuple, duplicate_spans(docs, k=5, hash_grams=True).collect()))
     assert a == b and len(a) > 0
+
+
+def test_remove_duplicate_spans_cuts_and_rejoins(spark):
+    from news_information_retrieval_system_spark.ops.curation import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 0/1 share the 6-run "a b c d e f": doc 0 dup starts {0,1}
+            # → island [0,6) → keeps the tail
+            (0, "a b c d e f q r s t u"),
+            (1, "m n a b c d e f o p"),
+            # internal-only repetition: untouched
+            (2, "x y z w v x y z w v"),
+            # too short for k=5 grams: untouched
+            (3, "p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert len(out) == 4  # removal keeps every input row
+    assert out[0]["text"] == "q r s t u"
+    assert (out[0]["n_tokens"], out[0]["n_kept"], out[0]["n_removed"]) == (11, 5, 6)
+    assert out[1]["text"] == "m n o p"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["text"] == "x y z w v x y z w v"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text"] == "p q r"
+    assert out[3]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_disjoint_islands(spark):
+    from news_information_retrieval_system_spark.ops.curation import (
+        remove_duplicate_spans,
+    )
+
+    filler = " ".join(f"f{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (0, f"c0 c1 c2 {filler} c0 c1 c2"),
+            (1, "c0 c1 c2 other tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    assert out[0]["text"] == filler  # both shared runs cut, middle kept
+    assert out[0]["n_removed"] == 6
+    assert out[1]["text"] == "other tokens here"
+
+
+def test_remove_matches_marking_invariant(spark):
+    """n_removed must equal duplicate_spans().dup_tokens doc-for-doc on a
+    real corpus slice (docs absent from the marking output remove 0)."""
+    from news_information_retrieval_system_spark.ops.curation import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    marked = {r["doc_id"]: r["dup_tokens"] for r in duplicate_spans(docs, k=5).collect()}
+    removed = {
+        r["doc_id"]: r["n_removed"] for r in remove_duplicate_spans(docs, k=5).collect()
+    }
+    assert len(removed) == docs.count()
+    assert len(marked) > 0
+    for did, n_rm in removed.items():
+        assert n_rm == marked.get(did, 0), did
+
+
+def test_remove_duplicate_spans_hash_grams_identical(spark):
+    from news_information_retrieval_system_spark.ops.curation import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(map(tuple, remove_duplicate_spans(docs, k=5).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(docs, k=5, hash_grams=True).collect()))
+    assert a == b and len(a) > 0
