@@ -138,6 +138,14 @@ _PRIORITY: list[str] = [
     "window_blocked_docs",  # compressed-positional window kernel
     "ltr_train_coefs",      # rows-only (pyspark.ml LR, by design)
     "term_clusters_editdist",  # same absorption path as _cooc (in-window)
+    # T8 NER closed after the window filled (local replica green; offset
+    # goldens in tests/test_ner.py) — rotate in next round:
+    "ner_entities",
+    "ner_type_stats",
+    "ner_top_entities",
+    # exact-substring-dedup REMOVAL pass (islands merge + reconstruction
+    # md5-checked; marking sibling duplicate_spans is in-window):
+    "span_removed_docs",
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",
@@ -167,11 +175,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
+    from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.registry(),
         **EQR7.registry(),
+        **EQR8.registry(),
         **EQCUR.registry(),
         **EQ.registry(),
         **EQO.registry(),
@@ -191,11 +201,13 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r5 as EQR5
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
+    from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.ORACLES,
         **EQR7.ORACLES,
+        **EQR8.ORACLES,
         **EQCUR.ORACLES,
         **EQ.ORACLES,
         **EQO.ORACLES,
