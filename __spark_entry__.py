@@ -146,6 +146,10 @@ _PRIORITY: list[str] = [
     # exact-substring-dedup REMOVAL pass (islands merge + reconstruction
     # md5-checked; marking sibling duplicate_spans is in-window):
     "span_removed_docs",
+    # BPE tokenizer induction (24-round training loop re-derived round
+    # by round in the oracle) + token budgets under the trained vocab:
+    "bpe_merges",
+    "bpe_token_counts",
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",
@@ -176,12 +180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
     from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
+    from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.registry(),
         **EQR7.registry(),
         **EQR8.registry(),
+        **EQBPE.registry(),
         **EQCUR.registry(),
         **EQ.registry(),
         **EQO.registry(),
@@ -202,12 +208,14 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r6 as EQR6
     from news_information_retrieval_system_spark import entry_queries_r7 as EQR7
     from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
+    from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
 
     return _ordered({
         **EQR6.ORACLES,
         **EQR7.ORACLES,
         **EQR8.ORACLES,
+        **EQBPE.ORACLES,
         **EQCUR.ORACLES,
         **EQ.ORACLES,
         **EQO.ORACLES,
