@@ -150,6 +150,8 @@ _PRIORITY: list[str] = [
     # by round in the oracle) + token budgets under the trained vocab:
     "bpe_merges",
     "bpe_token_counts",
+    # T3/T4 testable fallback: FMM segmentation, hand-derived goldens:
+    "fmm_segments",
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

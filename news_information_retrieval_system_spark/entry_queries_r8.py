@@ -19,6 +19,12 @@ entity extraction with the reference's analytics payloads.
 Offsets (start_pos/end_pos) are not SQL-re-derivable cheaply; they are
 pinned by reference-docstring goldens in tests/test_ner.py instead
 (ner_extractor.py:101-116, :690-695 demo sentences).
+
+* fmm_segments — the T3/T4 testable fallback (forward-maximum-matching
+  segmentation, ops/segment.py) over fixed CJK sentences; FMM is
+  iterative per character so no SQL re-derivation exists — the oracle
+  is HAND-DERIVED golden VALUES (exact, not a drift gate: the
+  algorithm is deterministic and the sentences fixed).
 """
 
 from __future__ import annotations
@@ -201,9 +207,48 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------ FMM segmentation
+FMM_LEX = [
+    "張三", "李四", "台灣大學", "台灣", "台北", "讀書", "在",
+    "圖書", "資訊", "圖書資訊", "學系",
+]
+_FMM_SENTS = [
+    ("s1", "張三在台灣大學讀書"),
+    ("s2", "李四愛台北"),
+    ("s3", "圖書資訊學系"),
+    ("s4", "張三在台灣讀書"),
+]
+
+
+def q_fmm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.segment import segment_text
+
+    df = spark.createDataFrame(_FMM_SENTS, "sent_id string, text string")
+    toks = df.select("sent_id", segment_text(df, FMM_LEX).alias("t"))
+    return toks.select(
+        "sent_id", F.posexplode("t").alias("pos", "term")
+    ).select("sent_id", F.col("pos").cast("long").alias("pos"), "term")
+
+
+# Hand-derived goldens (longest-match-first; 台灣大學 > 台灣,
+# 圖書資訊 > 圖書; OOV 愛 emits a singleton).
+_FMM_GOLD = [
+    ("s1", 0, "張三"), ("s1", 1, "在"), ("s1", 2, "台灣大學"), ("s1", 3, "讀書"),
+    ("s2", 0, "李四"), ("s2", 1, "愛"), ("s2", 2, "台北"),
+    ("s3", 0, "圖書資訊"), ("s3", 1, "學系"),
+    ("s4", 0, "張三"), ("s4", 1, "在"), ("s4", 2, "台灣"), ("s4", 3, "讀書"),
+]
+ORACLES["fmm_segments"] = (
+    "SELECT sent_id, cast(pos AS BIGINT) AS pos, term FROM (VALUES "
+    + ", ".join(f"('{s}', {p}, '{t}')" for s, p, t in _FMM_GOLD)
+    + ") AS v(sent_id, pos, term)"
+)
+
+
 def registry() -> dict:
     return {
         "ner_entities": q_ner_entities,
         "ner_type_stats": q_ner_type_stats,
         "ner_top_entities": q_ner_top_entities,
+        "fmm_segments": q_fmm_segments,
     }
