@@ -121,6 +121,22 @@ def train_bpe(
     rounds so the final plan does not nest ``n_merges`` aggregations.
     """
     words = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    return train_bpe_from_words(
+        words,
+        n_merges=n_merges,
+        min_pair_freq=min_pair_freq,
+        checkpoint_every=checkpoint_every,
+    )
+
+
+def train_bpe_from_words(
+    words: DataFrame,
+    n_merges: int = 24,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Training loop over a pre-built ``(word, freq, enc)`` vocabulary
+    table (see ``word_freq_table``) — the unit scaling runs measure."""
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         best = (

@@ -16,6 +16,23 @@ order, each drop counted once):
 
     n_input = n_wrong_lang + n_low_quality + n_exact_dup
               + n_near_dup + n_contaminated + n_kept
+
+Execution shape — SINGLE-PASS drop-reason design: instead of
+materializing and counting each stage's survivor frame (six
+full-corpus actions and five persisted intermediates), every stage
+contributes a FLAG column on one cached frame and a row's drop reason
+is its first failing stage; the whole accounting is ONE aggregation.
+The sequential semantics are preserved exactly:
+
+* the exact-dedup winner is the first ELIGIBLE (lang+quality-passing)
+  doc_id per content hash — a cumulative eligible-count window, so
+  an ineligible doc can never steal the slot;
+* MinHash pairs are generated over exact-dedup survivors only (the
+  candidate frame is a lazy filter of the cached base — no extra
+  materialization);
+* contamination overlap is per-doc against the broadcast benchmark
+  dictionary, so computing it pre-filter is value-identical, and the
+  flag only fires for rows that survived every earlier stage.
 """
 
 from __future__ import annotations
@@ -24,9 +41,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .curation import (
+    EMAIL_RE,
     assign_splits,
     benchmark_contamination,
-    pii_email_redact,
 )
 from .dedup import content_hash_col, dup_components, minhash_lsh_pairs
 from .textstats import quality_score_col
@@ -50,96 +67,114 @@ def curate_corpus(
     """Run the full curation pipeline over ``docs`` (needs ``doc_id`` and
     ``text`` columns; other columns pass through). Returns the curated
     DataFrame (text redacted, ``split`` column added) and the per-stage
-    accounting dict. Counts force the stages, so the returned frame's
-    lineage is short (reads the last persisted stage)."""
-    stats: dict[str, int] = {}
-    cur = docs.persist()
-    alive = stats["n_input"] = cur.count()
-
-    # 0. language gate (CCNet ordering: lang-ID before quality) — the
-    # script/stopword heuristic as a row-local predicate, zero shuffle
+    accounting dict. Single-pass drop-reason execution (see module
+    docstring): one cached flag frame, ONE accounting aggregation, and
+    the returned frame reads the same cache."""
+    # 0+1. row-local gates (CCNet ordering: lang-ID before quality) —
+    # flags, zero shuffle
     if lang_allow is not None:
         from .textstats import lang_id_col
 
-        nxt = cur.filter(
-            lang_id_col(F.col("text")).isin(*sorted(lang_allow))
-        ).persist()
-        n = nxt.count()
-        stats["n_wrong_lang"], alive = alive - n, n
-        cur.unpersist()
-        cur = nxt
+        lang_ok = lang_id_col(F.col("text")).isin(*sorted(lang_allow))
     else:
-        stats["n_wrong_lang"] = 0
+        lang_ok = F.lit(True)
+    q_ok = quality_score_col(F.col("text")) >= min_quality
 
-    # 1. quality floor — row-local predicate, zero shuffle (the
-    # features-frame + semi-join alternative measured 2.2x slower at
-    # 200k turns and costs an exchange the filter doesn't)
-    nxt = cur.filter(quality_score_col(F.col("text")) >= min_quality).persist()
-    n = nxt.count()
-    stats["n_low_quality"], alive = alive - n, n
-    cur.unpersist()
-    cur = nxt
-
-    # 2. exact dedup, keep the smallest doc_id per content hash
-    w = Window.partitionBy("h").orderBy("doc_id")
-    nxt = (
-        cur.withColumn("h", content_hash_col(F.col("text")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("h", "rn")
+    # 2. exact dedup: the winner is the FIRST ELIGIBLE doc_id per
+    # content hash — cumulative eligible count over the hash partition
+    # ordered by doc_id (an ineligible doc never steals the slot, and
+    # no filter/materialization is needed to express "among survivors")
+    w = (
+        Window.partitionBy("_h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        docs.withColumn("_lang_ok", lang_ok)
+        .withColumn("_q_ok", F.col("_lang_ok") & q_ok)
+        .withColumn("_h", content_hash_col(F.col("text")))
+        .withColumn(
+            "_erk",
+            F.sum(F.when(F.col("_q_ok"), 1).otherwise(0)).over(w),
+        )
+        .withColumn("_exact_keep", F.col("_q_ok") & (F.col("_erk") == 1))
         .persist()
     )
-    n = nxt.count()
-    stats["n_exact_dup"], alive = alive - n, n
-    cur.unpersist()
-    cur = nxt
 
-    # 3. near-dup: banded MinHash candidates, exact-Jaccard verify,
-    #    transitive closure via label propagation, keep the canonical
-    #    (min doc_id) member of each component
-    # default banding (16/4) bounds candidate volume at scale; the
-    # completeness configuration (bands == num_hashes, rows-per-band 1)
-    # makes the verified output equal the exact Jaccard set — used by the
-    # end-to-end accounting oracle
+    # 3. near-dup over exact-dedup survivors: banded MinHash candidates,
+    # exact-Jaccard verify, transitive closure via label propagation,
+    # keep the canonical (min doc_id) member of each component. Default
+    # banding (16/4) bounds candidate volume at scale; the completeness
+    # configuration (bands == num_hashes, rows-per-band 1) makes the
+    # verified output equal the exact Jaccard set — used by the
+    # end-to-end accounting oracle. The candidate frame is a lazy
+    # filter of the cached base.
     pairs = minhash_lsh_pairs(
-        cur,
+        flagged.filter(F.col("_exact_keep")),
         k=shingle_k,
         threshold=jaccard_threshold,
         num_hashes=num_hashes,
         bands=bands,
     )
     comp = dup_components(pairs)
-    non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    nxt = cur.join(non_canonical, "doc_id", "left_anti").persist()
-    n = nxt.count()
-    stats["n_near_dup"], alive = alive - n, n
-    comp.unpersist()
-    cur.unpersist()
-    cur = nxt
+    non_canonical = (
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id", F.lit(True).alias("_near_drop"))
+    )
+    flagged2 = flagged.join(non_canonical, "doc_id", "left")
 
-    # 4. benchmark decontamination (broadcast shingle-overlap count)
+    # 4. benchmark decontamination flag (broadcast shingle-overlap
+    # count; per-doc against the benchmark dictionary, so value-
+    # identical computed pre-filter — the flag only FIRES for rows
+    # that survived every earlier stage, preserving disjoint counts)
     if bench is not None:
-        ov = benchmark_contamination(cur, bench, k=shingle_k)
-        contaminated = ov.filter(
-            F.col("n_overlap") >= contamination_min_overlap
-        ).select("doc_id")
-        nxt = cur.join(contaminated, "doc_id", "left_anti").persist()
-        n = nxt.count()
-        stats["n_contaminated"], alive = alive - n, n
-        cur.unpersist()
-        cur = nxt
+        contaminated = (
+            benchmark_contamination(docs, bench, k=shingle_k)
+            .filter(F.col("n_overlap") >= contamination_min_overlap)
+            .select("doc_id", F.lit(True).alias("_contam"))
+        )
+        flagged2 = flagged2.join(contaminated, "doc_id", "left")
     else:
-        stats["n_contaminated"] = 0
+        flagged2 = flagged2.withColumn("_contam", F.lit(None).cast("boolean"))
 
-    # 5. PII scrub (one JVM regex pass, text replaced in place)
+    reason = (
+        F.when(~F.col("_lang_ok"), "wrong_lang")
+        .when(~F.col("_q_ok"), "low_quality")
+        .when(~F.col("_exact_keep"), "exact_dup")
+        .when(F.col("_near_drop"), "near_dup")
+        .when(F.col("_contam"), "contaminated")
+        .otherwise("kept")
+    )
+    final = flagged2.withColumn("_reason", reason).persist()
+
+    # ONE accounting action (also fully materializes `final`, after
+    # which the iteration caches can go)
+    acct = {
+        r["_reason"]: r["n"]
+        for r in final.groupBy("_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    comp.unpersist()
+    flagged.unpersist()
+    stats = {
+        "n_input": sum(acct.values()),
+        "n_wrong_lang": acct.get("wrong_lang", 0),
+        "n_low_quality": acct.get("low_quality", 0),
+        "n_exact_dup": acct.get("exact_dup", 0),
+        "n_near_dup": acct.get("near_dup", 0),
+        "n_contaminated": acct.get("contaminated", 0),
+        "n_kept": acct.get("kept", 0),
+    }
+
+    out = final.filter(F.col("_reason") == "kept").drop(
+        "_lang_ok", "_q_ok", "_h", "_erk", "_exact_keep",
+        "_near_drop", "_contam", "_reason",
+    )
+
+    # 5. PII scrub (one JVM regex pass, text replaced in place — no join)
     if redact_pii:
-        red = pii_email_redact(cur)
-        cur = (
-            cur.drop("text")
-            .join(red.select("doc_id", F.col("redacted").alias("text")), "doc_id")
+        out = out.withColumn(
+            "text", F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
         )
 
     # 6. deterministic split assignment
-    out = assign_splits(cur, train=train, val=val)
-    stats["n_kept"] = alive
-    return out, stats
+    return assign_splits(out, train=train, val=val), stats

@@ -389,6 +389,44 @@ def main() -> int:
         "",
     )
 
+    # ------------------------------------------------------- BPE round
+    from news_information_retrieval_system_spark.ops.bpe import (
+        _pair_counts,
+        apply_merge_col,
+        word_freq_table,
+    )
+
+    wtab = word_freq_table(docs)
+    bp = explain_str(_pair_counts(wtab))
+    dumps.append(("bpe pair-count round (training unit)", bp))
+    check(
+        "bpe_round",
+        "pair explode + count all JVM (no Python eval)",
+        "BatchEvalPython" not in bp and "ArrowEvalPython" not in bp,
+        "symbol extraction is regexp_extract_all, pairs a transform/"
+        "explode expression",
+    )
+    check(
+        "bpe_round",
+        "partial aggregation before the pair exchange",
+        "HashAggregate" in bp,
+        "hot pairs reach the final agg one row per upstream partition",
+    )
+    check(
+        "bpe_round",
+        "no cartesian anywhere in the round",
+        "CartesianProduct" not in bp,
+        "",
+    )
+    bm = explain_str(wtab.withColumn("enc", apply_merge_col("enc", "a", "b")))
+    check(
+        "bpe_round",
+        "merge application adds no exchange and no Python eval",
+        bm.count("Exchange") == explain_str(wtab).count("Exchange")
+        and "BatchEvalPython" not in bm,
+        "one JVM replace per row on top of the vocab table's own plan",
+    )
+
     # ------------------------------------------------ csoundex find_similar
     from news_information_retrieval_system_spark.ops.csoundex import (
         csoundex_code_col,
