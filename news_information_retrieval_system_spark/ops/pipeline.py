@@ -89,6 +89,10 @@ def curate_corpus(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the ONE cached frame — helper columns consumed by _exact_keep are
+    # dropped before persist so the cache carries only text + 3 booleans
+    # beyond the input (wide caches under a lazily-grown heap are this
+    # host's documented fault-storm trigger)
     flagged = (
         docs.withColumn("_lang_ok", lang_ok)
         .withColumn("_q_ok", F.col("_lang_ok") & q_ok)
@@ -98,6 +102,7 @@ def curate_corpus(
             F.sum(F.when(F.col("_q_ok"), 1).otherwise(0)).over(w),
         )
         .withColumn("_exact_keep", F.col("_q_ok") & (F.col("_erk") == 1))
+        .drop("_h", "_erk")
         .persist()
     )
 
@@ -145,16 +150,20 @@ def curate_corpus(
         .when(F.col("_contam"), "contaminated")
         .otherwise("kept")
     )
-    final = flagged2.withColumn("_reason", reason).persist()
+    # NOT persisted: both the accounting aggregation and the returned
+    # frame re-evaluate this join tree over the flagged CACHE — the
+    # flag/comp sides are tiny broadcasts, so a recompute is two cheap
+    # map-side joins, far cheaper than a second corpus-wide cache write.
+    final = flagged2.withColumn("_reason", reason)
 
-    # ONE accounting action (also fully materializes `final`, after
-    # which the iteration caches can go)
+    # ONE accounting action (materializes the flagged cache as a side
+    # effect). `flagged` and `comp` stay persisted — they back the
+    # returned frame's lineage; both are caller-lifetime caches like
+    # dup_components' labels (comp is vocab-of-dup-groups sized).
     acct = {
         r["_reason"]: r["n"]
         for r in final.groupBy("_reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    comp.unpersist()
-    flagged.unpersist()
     stats = {
         "n_input": sum(acct.values()),
         "n_wrong_lang": acct.get("wrong_lang", 0),
@@ -166,8 +175,7 @@ def curate_corpus(
     }
 
     out = final.filter(F.col("_reason") == "kept").drop(
-        "_lang_ok", "_q_ok", "_h", "_erk", "_exact_keep",
-        "_near_drop", "_contam", "_reason",
+        "_lang_ok", "_q_ok", "_exact_keep", "_near_drop", "_contam", "_reason",
     )
 
     # 5. PII scrub (one JVM regex pass, text replaced in place — no join)
