@@ -138,6 +138,10 @@ _PRIORITY: list[str] = [
     "window_blocked_docs",  # compressed-positional window kernel
     "ltr_train_coefs",      # rows-only (pyspark.ml LR, by design)
     "term_clusters_editdist",  # same absorption path as _cooc (in-window)
+    # SemDeDup embedding-cluster near-dup pruning (round-4 session-3
+    # addition, local replica green; full-pipeline DuckDB re-derivation
+    # incl. every Lloyd iteration) — rotate in next round:
+    "semantic_dedup",
     # T8 NER closed after the window filled (local replica green; offset
     # goldens in tests/test_ner.py) — rotate in next round:
     "ner_entities",
@@ -184,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
     from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
+    from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
 
     return _ordered({
         **EQR6.registry(),
@@ -202,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQFB.registry(),
         **EQTC.registry(),
         **EQR5.registry(),
+        **EQR9.registry(),
     })
 
 
@@ -212,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r8 as EQR8
     from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
+    from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
 
     return _ordered({
         **EQR6.ORACLES,
@@ -230,4 +237,5 @@ def oracle_sql() -> dict[str, str]:
         **EQFB.ORACLES,
         **EQTC.ORACLES,
         **EQR5.ORACLES,
+        **EQR9.ORACLES,
     })
