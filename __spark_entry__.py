@@ -142,6 +142,9 @@ _PRIORITY: list[str] = [
     # addition, local replica green; full-pipeline DuckDB re-derivation
     # incl. every Lloyd iteration) — rotate in next round:
     "semantic_dedup",
+    # BM25F weighted multi-field ranking (round-4 session-3 addition,
+    # local replica green; full per-field SQL re-derivation) — rotate in:
+    "bm25f_topk",
     # T8 NER closed after the window filled (local replica green; offset
     # goldens in tests/test_ner.py) — rotate in next round:
     "ner_entities",
