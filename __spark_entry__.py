@@ -145,6 +145,12 @@ _PRIORITY: list[str] = [
     # BM25F weighted multi-field ranking (round-4 session-3 addition,
     # local replica green; full per-field SQL re-derivation) — rotate in:
     "bm25f_topk",
+    # fastText-style trained quality filter (round-4 session-3 addition):
+    # features + scoring oracles are first-principles SQL; coefs is an
+    # ltr-style drift-gate (pinned across two fresh JVMs) — rotate in:
+    "quality_model_features",
+    "quality_model_scores",
+    "quality_model_coefs",
     # T8 NER closed after the window filled (local replica green; offset
     # goldens in tests/test_ner.py) — rotate in next round:
     "ner_entities",

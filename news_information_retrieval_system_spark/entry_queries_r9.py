@@ -75,8 +75,155 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- quality classifier
+# fastText-style trained filter (ops/quality_model.py). The corpus is
+# deterministically degraded — every doc_id % QM_JUNK_MOD == 0 becomes a
+# 20-token junk doc over the disjoint zz0..zz6 vocabulary — and both
+# engines derive the degradation from the same mod arithmetic.
+QM_BUCKETS, QM_JUNK_MOD, QM_JUNK_LEN = 32, 3, 20
+# Pinned scoring weights: the quality_train output at sf0.01 rounded to
+# 9dp, verified bit-identical across two fresh JVMs (drift-gate
+# quality_model_coefs pins the un-rounded training output). bucket -1 =
+# intercept. Scoring (the 100 TB pass) uses THESE constants on both
+# sides, so the scores oracle is a full first-principles re-derivation.
+QM_PINNED: dict[int, float] = {
+    -1: -1.441501955, 0: 0.230607794, 1: 0.436819252, 2: 0.0, 3: 0.0,
+    4: -0.130020803, 5: -0.092219869, 6: 0.0, 7: 0.0, 8: -0.140542751,
+    9: 0.0, 10: -0.086933371, 11: -0.093238404, 12: -0.142141991,
+    13: -0.136077294, 14: -0.372118267, 15: 0.022184755, 16: -0.117222972,
+    17: -0.017180002, 18: -0.086616748, 19: -0.083097684, 20: -0.134411203,
+    21: 0.0, 22: 0.0, 23: 0.219322721, 24: -0.085078654, 25: 0.0,
+    26: -0.117344343, 27: -0.097034326, 28: 0.206340738, 29: 0.0,
+    30: 0.235622422, 31: 0.0,
+}
+_QM_JUNK_SQL = (
+    "array_to_string(list_transform(range(1, "
+    f"{QM_JUNK_LEN + 1}), i -> 'zz' || ((doc_id + i) % 7)::VARCHAR), ' ')"
+)
+
+
+def _qm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import _docs
+
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(QM_JUNK_LEN)),
+            lambda i: F.concat(
+                F.lit("zz"), ((F.col("doc_id") + i) % 7).cast("string")
+            ),
+        ),
+        " ",
+    )
+    is_junk = F.col("doc_id") % QM_JUNK_MOD == 0
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(is_junk, junk).otherwise(F.col("text")).alias("text"),
+        F.when(is_junk, F.lit(1.0)).otherwise(F.lit(0.0)).alias("label"),
+    )
+
+
+def q_quality_model_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.quality_model import hashed_token_features
+
+    out = hashed_token_features(_qm_docs(spark, sf_dir), n_buckets=QM_BUCKETS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_quality_model_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.quality_model import quality_train
+
+    coefs, _report = quality_train(_qm_docs(spark, sf_dir), n_buckets=QM_BUCKETS)
+    return coefs.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.col("coefficient") * 1000000).cast("long").alias("coef_e6"),
+    )
+
+
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.quality_model import hashed_token_features, quality_score
+
+    feats = hashed_token_features(_qm_docs(spark, sf_dir), n_buckets=QM_BUCKETS)
+    w = {b: v for b, v in QM_PINNED.items() if b >= 0}
+    out = quality_score(feats, w, intercept=QM_PINNED[-1])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("logit") * 1000000).cast("long").alias("logit_e6"),
+        F.col("pred").cast("long").alias("pred"),
+    )
+
+
 # ----------------------------------------------------------------- oracles
 ORACLES: dict[str, str] = {}
+
+
+def _qm_base_sql() -> str:
+    from .ops.quality_model import bucket_sql
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {QM_JUNK_MOD} = 0 THEN {_QM_JUNK_SQL}
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM raw
+),
+feats AS (
+  SELECT doc_id, {bucket_sql("term", QM_BUCKETS)} AS bucket, count(*) AS cnt
+  FROM toks GROUP BY doc_id, {bucket_sql("term", QM_BUCKETS)}
+)"""
+
+
+ORACLES["quality_model_features"] = (
+    _qm_base_sql()
+    + """
+SELECT cast(doc_id AS BIGINT) AS doc_id, cast(bucket AS BIGINT) AS bucket,
+       cast(cnt AS BIGINT) AS cnt
+FROM feats"""
+)
+
+ORACLES["quality_model_coefs"] = (
+    # determinism DRIFT-GATE (same framing as ltr_train_coefs/lda_topics):
+    # L-BFGS is not SQL-derivable; pinned output verified identical across
+    # two fresh JVMs at sf0.01. Any change to featurization or training
+    # fails this gate.
+    "SELECT cast(bucket AS BIGINT) AS bucket, cast(coef_e6 AS BIGINT) AS coef_e6 "
+    "FROM (VALUES "
+    + ", ".join(
+        f"({b}, {round(w * 1000000)})" for b, w in sorted(QM_PINNED.items())
+    )
+    + ") AS t(bucket, coef_e6)"
+)
+
+
+def _qm_scores_oracle() -> str:
+    wvals = ", ".join(
+        f"({b}, {w!r})" for b, w in sorted(QM_PINNED.items()) if b >= 0
+    )
+    return (
+        _qm_base_sql()
+        + f""",
+w(bucket, w) AS (VALUES {wvals}),
+logits AS (
+  SELECT f.doc_id,
+         {QM_PINNED[-1]!r} + sum(coalesce(w.w, 0.0) * f.cnt) AS logit
+  FROM feats f LEFT JOIN w ON f.bucket = w.bucket
+  GROUP BY f.doc_id
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(logit * 1000000) AS BIGINT) AS logit_e6,
+       cast(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM logits"""
+    )
+
+
+ORACLES["quality_model_scores"] = _qm_scores_oracle()
 
 
 def _bm25f_oracle() -> str:
@@ -168,4 +315,7 @@ def registry() -> dict:
     return {
         "semantic_dedup": q_semantic_dedup,
         "bm25f_topk": q_bm25f_topk,
+        "quality_model_features": q_quality_model_features,
+        "quality_model_coefs": q_quality_model_coefs,
+        "quality_model_scores": q_quality_model_scores,
     }
