@@ -151,6 +151,15 @@ _PRIORITY: list[str] = [
     "quality_model_features",
     "quality_model_scores",
     "quality_model_coefs",
+    # temperature-based source mixing (Pile/DoReMi resampling rule,
+    # round-4 session-3 addition; first-principles SQL oracle):
+    "temperature_mix",
+    # champion lists: impact-ordered static-prune tier (round-4 session-3
+    # addition; full SQL re-derivation of tier + scoring):
+    "champion_topk",
+    # sequential dependence model: LM + ordered/unordered positional
+    # pair features (round-4 session-3 addition; full SQL re-derivation):
+    "sdm_topk",
     # T8 NER closed after the window filled (local replica green; offset
     # goldens in tests/test_ner.py) — rotate in next round:
     "ner_entities",

@@ -12,7 +12,8 @@ Layout:
     corpus     — deterministic distributed synthetic transcript generator
     docids     — stable doc_id assignment under (conv_id, turn_idx) ordering
     index/     — postings + doc_stats build, block codec, resumable segments
-    query/     — BM25, WAND, boolean, phrase, VSM, LM, BIM, fuzzy, hybrid
+    query/     — BM25, BM25F, WAND, champion lists, boolean, phrase, VSM,
+                 LM, SDM, BIM, fuzzy, hybrid
     eval/      — IR metrics (P@k, MAP, MRR, nDCG) as DataFrame ops
     ops/       — dedup (exact/simhash/minhash), ANN similarity, text stats,
                  training-data curation (splits, decontamination, PII,

@@ -156,8 +156,222 @@ def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- temperature mixing
+# alpha=0.5 (square-root tempering) over the lang column — the corpus'
+# only non-uniform key (source is flat by construction). sqrt keeps the
+# cross-engine float story trivial: IEEE sqrt/pow(x,-0.5) of the same
+# count ratios, quantized to /256 buckets far from rounding boundaries.
+TM_ALPHA, TM_KEY, TM_SALT = 0.5, "lang", "tmix"
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import _docs
+    from .ops.curation import temperature_mix
+
+    out, _rates = temperature_mix(
+        _docs(spark, sf_dir), alpha=TM_ALPHA, key_col=TM_KEY,
+        salt=TM_SALT, mark_only=True,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(TM_KEY).alias("lang"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
+# ------------------------------------------------------- champion lists
+CH_M = 64  # champion-tier depth: aggressive enough to prune real postings
+           # at sf0.01 (df reaches ~500), so the tier is a true approximation
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import B, K1, TOPK, _e5, _index, _qterms
+    from .query.champion import build_champion_lists, champion_topk
+
+    ch = build_champion_lists(_index(spark, sf_dir), m=CH_M, k1=K1, b=B)
+    out = champion_topk(ch, _qterms(spark), k=TOPK)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+    )
+
+
+# ------------------------------------------------------------------- SDM
+SDM_W, SDM_WINDOW = (0.85, 0.1, 0.05), 8
+
+
+def q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import MU, QUERY_SET, TOPK, _docs, _e5, _index, _qterms
+    from .index.build import build_positional
+    from .query.sdm import query_pairs_df, sdm_topk
+
+    pos = build_positional(_docs(spark, sf_dir))
+    out = sdm_topk(
+        _index(spark, sf_dir), pos, _qterms(spark),
+        query_pairs_df(spark, QUERY_SET),
+        k=TOPK, mu=MU, weights=SDM_W, window=SDM_WINDOW,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+    )
+
+
+def _qpairs_values_sql() -> str:
+    from collections import Counter
+
+    from .entry_queries import QUERY_SET
+    from .tokenize import py_tokenize
+
+    rows = []
+    for qid, text in QUERY_SET.items():
+        toks = py_tokenize(text)
+        for (a, b), cnt in sorted(Counter(zip(toks, toks[1:])).items()):
+            rows.append(f"('{qid}', '{a}', '{b}', {cnt})")
+    return "qp(query_id, pa, pb, pcnt) AS (VALUES " + ", ".join(rows) + ")"
+
+
 # ----------------------------------------------------------------- oracles
 ORACLES: dict[str, str] = {}
+
+
+def _sdm_oracle() -> str:
+    from .entry_queries import MU, TOPK, _SQL_BASE
+
+    w_t, w_o, w_u = SDM_W
+    hw = SDM_WINDOW - 1
+    return f"""{_SQL_BASE},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT cast(sum(dl) AS DOUBLE) AS total_tokens FROM dl),
+qcf AS (SELECT q.query_id, q.term, q.qtf, cf.cf / tot.total_tokens AS p_c
+        FROM q JOIN cf USING (term) CROSS JOIN tot),
+cand AS (SELECT DISTINCT qcf.query_id, tf.doc_id
+         FROM qcf JOIN tf USING (term)),
+lscored AS (
+  SELECT cand.query_id, cand.doc_id,
+         sum(qcf.qtf * ln((coalesce(tf.tf, 0) + {MU} * qcf.p_c) / (dl.dl + {MU}))) AS score
+  FROM cand
+  JOIN qcf ON qcf.query_id = cand.query_id
+  JOIN dl ON dl.doc_id = cand.doc_id
+  LEFT JOIN tf ON tf.term = qcf.term AND tf.doc_id = cand.doc_id
+  GROUP BY cand.query_id, cand.doc_id
+),
+lt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+{_qpairs_values_sql()},
+dp AS (SELECT DISTINCT pa, pb FROM qp),
+pc AS MATERIALIZED (
+  SELECT dp.pa, dp.pb, lt.doc_id,
+         len(list_filter(range(1, len(l)),
+             i -> l[i] = dp.pa AND l[i+1] = dp.pb)) AS ocnt,
+         coalesce(list_sum(list_transform(range(1, len(l) + 1),
+             i -> CASE WHEN l[i] = dp.pa
+                  THEN len(list_filter(range(greatest(i - {hw}, 1),
+                                             least(i + {hw}, len(l)) + 1),
+                           j -> l[j] = dp.pb AND j <> i))
+                  ELSE 0 END)), 0) AS ucnt
+  FROM dp CROSS JOIN lt
+),
+cfs AS (SELECT pa, pb, sum(ocnt) AS cfo, sum(ucnt) AS cfu FROM pc GROUP BY pa, pb),
+fo AS (
+  SELECT cand.query_id, cand.doc_id,
+         sum(qp.pcnt * ln((coalesce(pc.ocnt, 0) + {MU} * cfs.cfo / tot.total_tokens)
+                          / (dl.dl + {MU}))) AS fo
+  FROM cand
+  JOIN qp ON qp.query_id = cand.query_id
+  JOIN cfs ON cfs.pa = qp.pa AND cfs.pb = qp.pb AND cfs.cfo > 0
+  JOIN dl ON dl.doc_id = cand.doc_id
+  LEFT JOIN pc ON pc.pa = qp.pa AND pc.pb = qp.pb AND pc.doc_id = cand.doc_id
+  CROSS JOIN tot
+  GROUP BY cand.query_id, cand.doc_id
+),
+fu AS (
+  SELECT cand.query_id, cand.doc_id,
+         sum(qp.pcnt * ln((coalesce(pc.ucnt, 0) + {MU} * cfs.cfu / tot.total_tokens)
+                          / (dl.dl + {MU}))) AS fu
+  FROM cand
+  JOIN qp ON qp.query_id = cand.query_id
+  JOIN cfs ON cfs.pa = qp.pa AND cfs.pb = qp.pb AND cfs.cfu > 0
+  JOIN dl ON dl.doc_id = cand.doc_id
+  LEFT JOIN pc ON pc.pa = qp.pa AND pc.pb = qp.pb AND pc.doc_id = cand.doc_id
+  CROSS JOIN tot
+  GROUP BY cand.query_id, cand.doc_id
+),
+sdm AS (
+  SELECT l.query_id, l.doc_id,
+         {w_t} * l.score + {w_o} * coalesce(fo.fo, 0) + {w_u} * coalesce(fu.fu, 0)
+           AS score
+  FROM lscored l
+  LEFT JOIN fo ON fo.query_id = l.query_id AND fo.doc_id = l.doc_id
+  LEFT JOIN fu ON fu.query_id = l.query_id AND fu.doc_id = l.doc_id
+),
+rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+       FROM sdm)
+SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp
+FROM rk WHERE rank <= {TOPK}"""
+
+
+ORACLES["sdm_topk"] = _sdm_oracle()
+
+
+def _champion_oracle() -> str:
+    from .entry_queries import B, K1, TOPK, _SQL_BASE
+
+    return f"""{_SQL_BASE},
+imp AS (
+  SELECT tf.term, tf.doc_id,
+         round(idf.idf * (tf.tf * ({K1} + 1)) /
+               (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 9) AS impact
+  FROM tf JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+champ AS (
+  SELECT term, doc_id, impact FROM (
+    SELECT term, doc_id, impact,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY impact DESC, doc_id ASC) AS cr
+    FROM imp
+  ) WHERE cr <= {CH_M}
+),
+scored AS (
+  SELECT q.query_id, c.doc_id, round(sum(q.qtf * c.impact), 9) AS score
+  FROM q JOIN champ c USING (term)
+  GROUP BY q.query_id, c.doc_id
+),
+rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+       FROM scored)
+SELECT query_id, cast(rank AS BIGINT) AS rank, cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp
+FROM rk WHERE rank <= {TOPK}"""
+
+
+ORACLES["champion_topk"] = _champion_oracle()
+
+ORACLES["temperature_mix"] = f"""
+WITH n AS (SELECT {TM_KEY} AS k, count(*) AS n FROM documents GROUP BY {TM_KEY}),
+mn AS (SELECT min(n) AS n_min FROM n),
+q AS (
+  SELECT k, cast(round(pow(n::DOUBLE / n_min, {TM_ALPHA} - 1.0) * 256) AS INT) AS qq
+  FROM n CROSS JOIN mn
+),
+thr AS (
+  SELECT k, CASE WHEN qq >= 256 THEN 'zz' ELSE printf('%02x', qq) END AS thr
+  FROM q
+)
+SELECT cast(d.doc_id AS BIGINT) AS doc_id, d.{TM_KEY} AS lang,
+       cast(CASE WHEN substr(md5('{TM_SALT}:' || d.doc_id::VARCHAR), 1, 2) < t.thr
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d JOIN thr t ON d.{TM_KEY} = t.k"""
 
 
 def _qm_base_sql() -> str:
@@ -318,4 +532,7 @@ def registry() -> dict:
         "quality_model_features": q_quality_model_features,
         "quality_model_coefs": q_quality_model_coefs,
         "quality_model_scores": q_quality_model_scores,
+        "temperature_mix": q_temperature_mix,
+        "champion_topk": q_champion_topk,
+        "sdm_topk": q_sdm_topk,
     }

@@ -541,6 +541,18 @@ def hash_stratified_sample(
             raise ValueError(f"rate out of [0,1] for {k!r}: {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    return docs.filter(_sample_keep_expr(rates, key_col, id_col, default_rate, salt))
+
+
+def _sample_keep_expr(
+    rates: dict[str, float],
+    key_col: str,
+    id_col: str,
+    default_rate: float,
+    salt: str,
+) -> Column:
+    """Boolean keep decision for the quantized salted-md5 sampler (shared
+    by hash_stratified_sample and temperature_mix)."""
     bucket = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 2
     )
@@ -549,7 +561,47 @@ def hash_stratified_sample(
         thr = F.when(
             F.col(key_col) == k, _hex_threshold(int(round(r * 256)))
         ).otherwise(thr)
-    return docs.filter(bucket < thr)
+    return bucket < thr
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    mark_only: bool = False,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based source resampling (the Pile/DoReMi mixing rule):
+    target mixture share w_s ∝ n_s^alpha, achieved with MAXIMAL data
+    retention by keeping source ``s`` at rate (n_s/n_min)^(alpha-1) — the
+    smallest source keeps everything, larger sources are downsampled
+    toward the tempered share. alpha=1 keeps natural proportions (all
+    rates 1.0); alpha→0 approaches uniform shares.
+
+    → (df, rates): ``df`` filtered to survivors (or kept-flagged when
+    ``mark_only`` — the accounting face), ``rates`` the per-source keep
+    rates actually applied (pre-quantization; the decision itself uses
+    the /256-quantized salted-md5 sampler, deterministic on any engine).
+
+    Plan/scale: ONE tiny groupBy collect (|sources| rows on the driver)
+    to derive rates, then one narrow hash-filter pass over the corpus —
+    no shuffle, no skew (the decision hashes the id, not the key).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    counts = {
+        r[key_col]: r["n"]
+        for r in docs.groupBy(key_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return (docs.withColumn("kept", F.lit(1)) if mark_only else docs), {}
+    n_min = min(counts.values())
+    rates = {k: (n / n_min) ** (alpha - 1.0) for k, n in counts.items()}
+    keep = _sample_keep_expr(rates, key_col, id_col, 1.0, salt)
+    if mark_only:
+        return docs.withColumn("kept", keep.cast("int")), rates
+    return docs.filter(keep), rates
 
 
 _HEXDIGITS = "0123456789abcdef"
