@@ -470,6 +470,211 @@ def main() -> int:
         "partial top-k per partition before the rank exchange",
     )
 
+    # --------------------------------------------------- champion lists
+    from news_information_retrieval_system_spark.query.champion import (
+        build_champion_lists,
+        champion_topk,
+    )
+
+    ch = build_champion_lists(idx, m=16)
+    p = explain_str(ch)
+    dumps.append(("champion list build (per-term impact tier)", p))
+    check(
+        "champion_build",
+        "per-term top-m rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "partial top-m per partition before the term exchange — tier "
+        "build volume is m·|vocab| after the pushdown, not |postings|",
+    )
+    check(
+        "champion_build",
+        "corpus stats broadcast (1 row), no cartesian blowup",
+        "BroadcastExchange" in p and "CartesianProduct" not in p,
+        "avgdl rides a 1-row broadcast into the impact projection",
+    )
+    check(
+        "champion_build",
+        "impact projection all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+    ct = champion_topk(ch, q, k=10)
+    p = explain_str(ct)
+    dumps.append(("champion_topk (tier-only scoring)", p))
+    check(
+        "champion_topk",
+        "query side broadcast",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "tier join never shuffles the champion frame on the query side",
+    )
+    check(
+        "champion_topk",
+        "partial aggregation before the (query, doc) exchange",
+        "HashAggregate" in p,
+        "map-side combine on the stored-impact sums",
+    )
+    check(
+        "champion_topk",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "",
+    )
+
+    # ------------------------------------------------------------- SDM
+    from news_information_retrieval_system_spark.index.build import (
+        build_positional,
+    )
+    from news_information_retrieval_system_spark.query.sdm import (
+        query_pairs_df,
+        sdm_topk,
+    )
+
+    pos = build_positional(docs)
+    qp = query_pairs_df(spark, {"q1": "fast table scan", "q2": "key value"})
+    sd = sdm_topk(idx, pos, q, qp, k=10)
+    p = explain_str(sd)
+    dumps.append(("sdm_topk (LM + ordered/unordered pair features)", p))
+    check(
+        "sdm_topk",
+        "positional pair self-join is an equi join (no CartesianProduct)",
+        "CartesianProduct" not in p,
+        "pair counts come from one (pb, doc_id)-keyed join of posting-"
+        "list-sized frames, never a position explode or cross pairing",
+    )
+    check(
+        "sdm_topk",
+        "query pair dims broadcast",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "the distinct-pair table and per-query pair weights are tiny",
+    )
+    check(
+        "sdm_topk",
+        "window/ordered counts all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "aggregate/filter higher-order functions over the two position "
+        "arrays — no per-row Python, no position explode",
+    )
+
+    # ----------------------------------------------------------- BM25F
+    from news_information_retrieval_system_spark.query.bm25f import (
+        bm25f_topk,
+    )
+
+    fdocs = spark.read.parquet(docs_path).select(
+        "doc_id", F.col("text").alias("title"), F.col("text").alias("body")
+    )
+    bf = bm25f_topk(fdocs, q, k=10, field_weights={"title": 2.5, "body": 1.0})
+    p = explain_str(bf)
+    dumps.append(("bm25f_topk (weighted multi-field ranking)", p))
+    check(
+        "bm25f_topk",
+        "query + per-field avgdl dims broadcast",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "|F|-row avgdl and the query set never shuffle the tf frame",
+    )
+    check(
+        "bm25f_topk",
+        "field weighting all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "per-field weights/b ride literal maps inside codegen",
+    )
+    check(
+        "bm25f_topk",
+        "partial aggregation before every exchange",
+        "HashAggregate" in p and "CartesianProduct" not in p,
+        "wtf and score sums combine map-side",
+    )
+    check(
+        "bm25f_topk",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "",
+    )
+
+    # --------------------------------------------------- semantic_dedup
+    from news_information_retrieval_system_spark.ops.semdedup import (
+        semantic_dedup,
+    )
+
+    vecs = spark.range(512).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda pp: (F.xxhash64(F.col("id"), pp) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    sdd = semantic_dedup(vecs, k=8, n_iters=2, tau=0.95)
+    p = explain_str(sdd)
+    dumps.append(("semantic_dedup (cluster-bounded pair scan)", p))
+    check(
+        "semantic_dedup",
+        "pair scan keyed on cluster (equi join, no CartesianProduct)",
+        "CartesianProduct" not in p,
+        "the all-pairs cosine scan is bounded to within-cluster pairs — "
+        "the Σ|c|² contract that makes SemDeDup feasible at corpus scale",
+    )
+    check(
+        "semantic_dedup",
+        "cosine + survivor flags all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "zip_with/aggregate dot products, no per-row Python",
+    )
+
+    # ---------------------------------------------- trained quality filter
+    from news_information_retrieval_system_spark.ops.quality_model import (
+        hashed_token_features,
+        quality_score,
+    )
+
+    feats = hashed_token_features(docs, n_buckets=64)
+    qs = quality_score(feats, {3: 0.5, 17: -0.25}, intercept=0.1)
+    p = explain_str(qs)
+    dumps.append(("quality_score (pinned-weight corpus pass)", p))
+    check(
+        "quality_score",
+        "weight table broadcast",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "|buckets| rows join the feature frame map-side",
+    )
+    check(
+        "quality_score",
+        "hashing + logit all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "the hashing trick is md5-digit Column algebra",
+    )
+    check(
+        "quality_score",
+        "partial aggregation before the doc exchange",
+        "HashAggregate" in p,
+        "per-doc logit sums combine map-side",
+    )
+
+    # ------------------------------------------------- temperature_mix
+    from news_information_retrieval_system_spark.ops.curation import (
+        temperature_mix,
+    )
+
+    tdocs = spark.read.parquet(docs_path)
+    tm, _rates = temperature_mix(
+        tdocs, alpha=0.5, key_col="lang", mark_only=True
+    )
+    p = explain_str(tm)
+    dumps.append(("temperature_mix (tempered-rate keep pass)", p))
+    check(
+        "temperature_mix",
+        "decision pass is narrow (no shuffle Exchange)",
+        "Exchange" not in p,
+        "rates come from a |sources|-row driver aggregate; the keep "
+        "decision itself is a salted-md5 Column filter — one scan, no "
+        "shuffle, no skew (hashes the id, not the key)",
+    )
+    check(
+        "temperature_mix",
+        "keep decision all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
