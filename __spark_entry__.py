@@ -174,6 +174,15 @@ _PRIORITY: list[str] = [
     "bpe_token_counts",
     # T3/T4 testable fallback: FMM segmentation, hand-derived goldens:
     "fmm_segments",
+    # round-4 session-4 additions (local replica green; window already
+    # full) — rotate in next round:
+    "tiered_topk",          # tiered impact-ordered index, per-query
+                            # adaptive fallback (full SQL re-derivation)
+    "rerank2_topk",         # two-phase retrieve-then-rerank, pinned
+                            # linear model over the LTR feature row
+    "incr_dedup_flags",     # incremental batch-vs-corpus exact dedup
+    "incr_simhash_hits",    # incremental fuzzy dedup vs stored SimHash
+                            # state (exact cross-Hamming oracle)
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",
@@ -207,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
     from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
+    from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
 
     return _ordered({
         **EQR6.registry(),
@@ -226,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQTC.registry(),
         **EQR5.registry(),
         **EQR9.registry(),
+        **EQR10.registry(),
     })
 
 
@@ -237,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_bpe as EQBPE
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
     from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
+    from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
 
     return _ordered({
         **EQR6.ORACLES,
@@ -256,4 +268,5 @@ def oracle_sql() -> dict[str, str]:
         **EQTC.ORACLES,
         **EQR5.ORACLES,
         **EQR9.ORACLES,
+        **EQR10.ORACLES,
     })

@@ -1,0 +1,384 @@
+"""Round-4 (session 4) driver-contract entries.
+
+* tiered_topk — tiered impact-ordered retrieval with per-query adaptive
+  fallback (query/tiered.py, Manning IR §7.2.1); the oracle re-derives
+  impact ranking, tier bucketing, per-query cumulative candidate counts,
+  the chosen tier, and the stored-impact scoring from first principles.
+* rerank2_topk — two-phase retrieve-then-rerank (query/rerank.py): BM25
+  top-``RR_K_CAND`` pool rescored by a pinned linear model over the LTR
+  feature row; the oracle re-derives candidates + every feature + the
+  linear rescore (the ltr_features CTE chain with the model applied).
+* incr_dedup_flags / incr_simhash_hits — incremental cross-snapshot
+  dedup (ops/incr_dedup.py, reference DuplicateDetector semantics,
+  deduplication.py:204-298): the corpus/batch split and the planted
+  duplicates are derived from the documents table by shared mod
+  arithmetic, so both engines build identical inputs; the exact oracle
+  re-derives md5 flags + first-seen windows, the fuzzy oracle recomputes
+  md5-bit SimHash fingerprints from scratch and brute-forces the
+  batch×corpus Hamming scan the banded pipeline must reproduce.
+
+Constants live here so the Spark entries and the SQL oracles cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import (
+    _SQL_BASE,
+    _SQL_BM25_SCORED,
+    B,
+    K1,
+    MU,
+    TOPK,
+    _docs,
+    _e5,
+    _index,
+    _qterms,
+)
+
+# ------------------------------------------------------------ tiered index
+# depth ladder: tier 1 prunes hard (4 docs/term), tier 3 caps at 256 —
+# below the hottest df at sf0.01, so even the deepest tier is a true
+# static prune and per-query fallback actually varies across the set.
+TD_DEPTHS = (4, 32, 256)
+
+
+def q_tiered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.tiered import build_tiered_lists, tiered_topk
+
+    t = build_tiered_lists(_index(spark, sf_dir), depths=TD_DEPTHS, k1=K1, b=B)
+    out = tiered_topk(t, _qterms(spark), k=TOPK)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+        F.col("tier").cast("long").alias("tier"),
+    )
+
+
+# --------------------------------------------------------------- rerank
+# Pinned production-style weights (the trained ltr_train artifact drops
+# in): mostly-BM25 with LM/TF-IDF confirmation, a small completeness
+# bonus, and a mild length prior. k_cand=30 makes phase 2 a genuine
+# re-rank of a 3× pool, not a pass-through.
+RR_K_CAND = 30
+RR_INTERCEPT = 0.1
+RR_W = {
+    "bm25_score": 0.6,
+    "lm_score": 0.25,
+    "tfidf_score": 0.1,
+    "match_count": 0.05,
+    "dl": -0.0005,
+}
+
+
+def q_rerank2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.rerank import rerank_topk
+
+    out = rerank_topk(
+        _index(spark, sf_dir), _qterms(spark), weights=RR_W,
+        intercept=RR_INTERCEPT, k_cand=RR_K_CAND, k=TOPK, k1=K1, b=B, mu=MU,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+        F.col("phase1_rank").cast("long").alias("phase1_rank"),
+    )
+
+
+# ------------------------------------------- incremental dedup fixtures
+# corpus = doc_id % 3 != 0 (text as-is); batch = doc_id % 3 == 0 with
+# planted duplicates: % 15 == 0 rows copy their successor's text (a
+# corpus doc — doc_id+1 ≢ 0 mod 3), % 15 == 6 rows collapse onto 4
+# shared payloads (in-batch duplicate groups). Both engines derive the
+# split from the same mod arithmetic.
+ID_BATCH_MOD = 3
+ID_COPY_MOD, ID_GROUP_MOD, ID_GROUP_REM = 15, 15, 6
+
+
+def _id_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).filter(
+        F.col("doc_id") % ID_BATCH_MOD != 0
+    ).select("doc_id", "text")
+
+
+def _id_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    nb = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ntext")
+    )
+    return (
+        docs.filter(F.col("doc_id") % ID_BATCH_MOD == 0)
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % ID_COPY_MOD == 0)
+                & F.col("ntext").isNotNull(),
+                F.col("ntext"),
+            )
+            .when(
+                F.col("doc_id") % ID_GROUP_MOD == ID_GROUP_REM,
+                F.concat(
+                    F.lit("planted batch dup "),
+                    (F.col("doc_id") % 4).cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+_ID_SQL_TABLES = f"""
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % {ID_BATCH_MOD} <> 0),
+nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext FROM documents),
+batch AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {ID_COPY_MOD} = 0 AND nb.ntext IS NOT NULL
+                THEN nb.ntext
+              WHEN d.doc_id % {ID_GROUP_MOD} = {ID_GROUP_REM}
+                THEN 'planted batch dup ' || (d.doc_id % 4)::VARCHAR
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN nb USING (doc_id)
+  WHERE d.doc_id % {ID_BATCH_MOD} = 0
+)"""
+
+
+def q_incr_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.incr_dedup import corpus_hash_state, incremental_exact_dedup
+
+    state = corpus_hash_state(_id_corpus(spark, sf_dir))
+    out = incremental_exact_dedup(_id_batch(spark, sf_dir), state)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "content_hash",
+        F.col("dup_of_corpus").cast("long").alias("dup_of_corpus"),
+        F.col("dup_in_batch").cast("long").alias("dup_in_batch"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
+# fuzzy: 16 four-bit bands cover the reported Hamming ≤ 15 by pigeonhole
+ID_SH_HAMMING, ID_SH_BANDS = 15, 16
+
+
+def q_incr_simhash_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import md5_hash64_col
+    from .ops.incr_dedup import (
+        corpus_simhash_state,
+        incremental_simhash_dedup,
+    )
+
+    fps = corpus_simhash_state(
+        _id_corpus(spark, sf_dir), hash_fn=md5_hash64_col
+    )
+    out = incremental_simhash_dedup(
+        _id_batch(spark, sf_dir), fps,
+        hamming=ID_SH_HAMMING, bands=ID_SH_BANDS, hash_fn=md5_hash64_col,
+    )
+    return out.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("hamming_dist").cast("long").alias("hamming_dist"),
+    )
+
+
+# ----------------------------------------------------------------- oracles
+ORACLES: dict[str, str] = {}
+
+_d1, _d2, _d3 = TD_DEPTHS
+ORACLES["tiered_topk"] = f"""{_SQL_BASE},
+imp AS (
+  SELECT tf.term, tf.doc_id,
+         round(idf.idf * (tf.tf * ({K1} + 1)) /
+               (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 9) AS impact
+  FROM tf JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+trd AS (
+  SELECT term, doc_id, impact,
+         CASE WHEN cr <= {_d1} THEN 1
+              WHEN cr <= {_d2} THEN 2
+              ELSE 3 END AS tier
+  FROM (SELECT term, doc_id, impact,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY impact DESC, doc_id ASC) AS cr
+        FROM imp)
+  WHERE cr <= {_d3}
+),
+hits AS (SELECT q.query_id, q.qtf, t.doc_id, t.impact, t.tier
+         FROM q JOIN trd t USING (term)),
+cand AS (SELECT query_id, doc_id, min(tier) AS first_tier
+         FROM hits GROUP BY query_id, doc_id),
+cum AS (SELECT query_id, first_tier,
+               sum(count(*)) OVER (PARTITION BY query_id
+                                   ORDER BY first_tier) AS cum
+        FROM cand GROUP BY query_id, first_tier),
+chosen AS (SELECT query_id,
+                  coalesce(min(CASE WHEN cum >= {TOPK} THEN first_tier END),
+                           max(first_tier)) AS tier
+           FROM cum GROUP BY query_id),
+scored AS (
+  SELECT h.query_id, h.doc_id, ch.tier,
+         round(sum(h.qtf * h.impact), 9) AS score
+  FROM hits h JOIN chosen ch USING (query_id)
+  WHERE h.tier <= ch.tier
+  GROUP BY h.query_id, h.doc_id, ch.tier
+),
+rk AS (SELECT query_id, doc_id, tier, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC)
+                AS rank
+       FROM scored)
+SELECT query_id, cast(rank AS BIGINT) AS rank,
+       cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp,
+       cast(tier AS BIGINT) AS tier
+FROM rk WHERE rank <= {TOPK}"""
+
+
+def _rerank_oracle() -> str:
+    w = RR_W
+    return f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+cand AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 9) DESC, doc_id ASC)
+             AS rank
+    FROM scored) WHERE rank <= {RR_K_CAND}
+),
+cf AS (SELECT term, cast(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+tot AS (SELECT cast(sum(dl) AS DOUBLE) AS total_tokens FROM dl),
+w AS (SELECT tf.doc_id, tf.term, (1 + log10(tf.tf)) * idf.idf AS w
+      FROM tf JOIN idf USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+base AS (
+  SELECT c.query_id, c.doc_id, c.rank, q.term, q.qtf,
+         coalesce(tf.tf, 0) AS tf, idf.idf AS idf, dl.dl AS dl,
+         coalesce(w.w / norms.norm, 0.0) AS w_norm,
+         cf.cf / tot.total_tokens AS p_c, s.avgdl AS avgdl
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN idf ON idf.term = q.term
+  JOIN cf ON cf.term = q.term
+  LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = c.doc_id
+  LEFT JOIN w ON w.term = q.term AND w.doc_id = c.doc_id
+  JOIN norms ON norms.doc_id = c.doc_id
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN tot CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, max(rank) AS phase1_rank,
+         sum(qtf) AS qtc,
+         count(CASE WHEN tf > 0 THEN 1 END) AS match_count,
+         max(dl) AS dl,
+         sum(qtf * idf * (tf * ({K1} + 1)) /
+             (tf + {K1} * (1 - {B} + {B} * dl / avgdl))) AS bm25,
+         sum(qtf * idf * w_norm) AS tfidf,
+         sum(qtf * ln((tf + {MU} * p_c) / (dl + {MU}))) AS lm
+  FROM base GROUP BY query_id, doc_id
+),
+rescored AS (
+  SELECT query_id, doc_id, phase1_rank,
+         round({RR_INTERCEPT}
+               + {w["bm25_score"]} * bm25
+               + {w["dl"]} * dl
+               + {w["lm_score"]} * lm
+               + {w["match_count"]} * match_count
+               + {w["tfidf_score"]} * tfidf, 9) AS score
+  FROM agg
+),
+rk AS (SELECT query_id, doc_id, phase1_rank, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC)
+                AS rank
+       FROM rescored)
+SELECT query_id, cast(rank AS BIGINT) AS rank,
+       cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp,
+       cast(phase1_rank AS BIGINT) AS phase1_rank
+FROM rk WHERE rank <= {TOPK}"""
+
+
+ORACLES["rerank2_topk"] = _rerank_oracle()
+
+ORACLES["incr_dedup_flags"] = f"""WITH {_ID_SQL_TABLES.strip()},
+ch AS (SELECT doc_id, md5(text) AS content_hash FROM batch),
+cs AS (SELECT DISTINCT md5(text) AS content_hash FROM corpus),
+fl AS (
+  SELECT ch.doc_id, ch.content_hash,
+         CASE WHEN cs.content_hash IS NOT NULL THEN 1 ELSE 0 END
+           AS dup_of_corpus,
+         CASE WHEN row_number() OVER (PARTITION BY ch.content_hash
+                                      ORDER BY ch.doc_id ASC) > 1
+              THEN 1 ELSE 0 END AS dup_in_batch
+  FROM ch LEFT JOIN cs USING (content_hash)
+)
+SELECT cast(doc_id AS BIGINT) AS doc_id, content_hash,
+       cast(dup_of_corpus AS BIGINT) AS dup_of_corpus,
+       cast(dup_in_batch AS BIGINT) AS dup_in_batch,
+       cast(CASE WHEN dup_of_corpus = 0 AND dup_in_batch = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM fl"""
+
+# fuzzy oracle: md5-bit SimHash from first principles over BOTH derived
+# tables, brute-force batch×corpus Hamming — the banded+verified Spark
+# pipeline must reproduce it exactly (precision AND completeness).
+ORACLES["incr_simhash_hits"] = f"""WITH {_ID_SQL_TABLES.strip()},
+sides AS (
+  SELECT doc_id, text, 'b' AS side FROM batch
+  UNION ALL
+  SELECT doc_id, text, 'c' AS side FROM corpus
+),
+tf AS (SELECT side, doc_id, term, count(*) AS tf
+       FROM (SELECT side, doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS term
+             FROM sides)
+       GROUP BY side, doc_id, term),
+th AS (SELECT DISTINCT term FROM tf),
+bits AS (
+  SELECT term, j,
+         ((((strpos('0123456789abcdef', substr(md5(term), (j // 8) * 2 + 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(term), (j // 8) * 2 + 2, 1)) - 1))
+           >> (j % 8)) & 1) AS bit
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+),
+votes AS (
+  SELECT tf.side, tf.doc_id, b.j,
+         sum(CASE WHEN b.bit = 1 THEN tf.tf ELSE -tf.tf END) AS v
+  FROM tf JOIN bits b USING (term)
+  GROUP BY tf.side, tf.doc_id, b.j
+),
+fp AS (SELECT side, doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS fb
+       FROM votes),
+ham AS (
+  SELECT bb.doc_id AS batch_id, cc.doc_id AS corpus_id,
+         sum(CASE WHEN bb.fb <> cc.fb THEN 1 ELSE 0 END) AS hd
+  FROM fp bb JOIN fp cc ON bb.j = cc.j
+  WHERE bb.side = 'b' AND cc.side = 'c'
+  GROUP BY bb.doc_id, cc.doc_id
+)
+SELECT cast(batch_id AS BIGINT) AS batch_id,
+       cast(corpus_id AS BIGINT) AS corpus_id,
+       cast(hd AS BIGINT) AS hamming_dist
+FROM ham WHERE hd <= {ID_SH_HAMMING}"""
+
+
+def registry():
+    return {
+        "tiered_topk": q_tiered_topk,
+        "rerank2_topk": q_rerank2_topk,
+        "incr_dedup_flags": q_incr_dedup_flags,
+        "incr_simhash_hits": q_incr_simhash_hits,
+    }
