@@ -183,6 +183,11 @@ _PRIORITY: list[str] = [
     "incr_dedup_flags",     # incremental batch-vs-corpus exact dedup
     "incr_simhash_hits",    # incremental fuzzy dedup vs stored SimHash
                             # state (exact cross-Hamming oracle)
+    # conversation-grain ops over the derived transcript shape (round-4
+    # session-5; window already full) — rotate in next round:
+    "conv_stats",           # per-conversation rollup
+    "sft_pairs",            # prompt/response training-pair extraction
+    "conv_dedup",           # whole-conversation exact dedup
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

@@ -375,10 +375,153 @@ SELECT cast(batch_id AS BIGINT) AS batch_id,
 FROM ham WHERE hd <= {ID_SH_HAMMING}"""
 
 
+# ------------------------------------------- conversation-grain fixtures
+# The driver's testdata has no transcripts table, so both engines derive
+# the input_hint shape (conv_id, turn_idx, role, text, tool) from
+# documents by the same arithmetic: 4 turns per conversation, alternating
+# roles, a deterministic tool assignment, and a planted duplicate class —
+# every conversation with (doc_id // 4) % 7 == 3 gets identical
+# turn-texts, so whole-conversation dedup has real groups to find.
+TR_TURNS = 4
+TR_PLANT_MOD, TR_PLANT_REM = 7, 3
+TR_CTX = 2  # sft_pairs context window (turns)
+
+
+def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cid = F.floor(F.col("doc_id") / TR_TURNS)
+    return d.select(
+        F.concat(F.lit("c"), cid.cast("string")).alias("conv_id"),
+        (F.col("doc_id") % TR_TURNS).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.when(
+            cid % TR_PLANT_MOD == TR_PLANT_REM,
+            F.concat(
+                F.lit("planted conv turn "),
+                (F.col("doc_id") % TR_TURNS).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 5 == 2, "search")
+        .when(F.col("doc_id") % 5 == 4, "python")
+        .otherwise("")
+        .alias("tool"),
+    )
+
+
+_TR_SQL = f"""tr AS (
+  SELECT 'c' || (doc_id // {TR_TURNS})::VARCHAR AS conv_id,
+         doc_id % {TR_TURNS} AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN (doc_id // {TR_TURNS}) % {TR_PLANT_MOD} = {TR_PLANT_REM}
+              THEN 'planted conv turn ' || (doc_id % {TR_TURNS})::VARCHAR
+              ELSE text END AS text,
+         CASE WHEN doc_id % 5 = 2 THEN 'search'
+              WHEN doc_id % 5 = 4 THEN 'python'
+              ELSE '' END AS tool
+  FROM documents
+)"""
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import conversation_stats
+
+    out = conversation_stats(_tr(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "n_turns",
+                "n_user",
+                "n_assistant",
+                "n_tool_calls",
+                "n_distinct_tools",
+                "total_tokens",
+                "max_turn_idx",
+            )
+        ],
+    )
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import sft_pairs
+
+    out = sft_pairs(_tr(spark, sf_dir), context_turns=TR_CTX)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "prompt",
+        "response",
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import conversation_dedup
+
+    out = conversation_dedup(_tr(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "conv_hash",
+        "canonical_conv_id",
+        F.col("is_dup").cast("long").alias("is_dup"),
+    )
+
+
+ORACLES["conv_stats"] = f"""WITH {_TR_SQL}
+SELECT conv_id,
+       cast(count(*) AS BIGINT) AS n_turns,
+       cast(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+       cast(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT)
+         AS n_assistant,
+       cast(count(CASE WHEN tool <> '' THEN 1 END) AS BIGINT)
+         AS n_tool_calls,
+       cast(count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+         AS n_distinct_tools,
+       cast(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         AS BIGINT) AS total_tokens,
+       cast(max(turn_idx) AS BIGINT) AS max_turn_idx
+FROM tr GROUP BY conv_id"""
+
+ORACLES["sft_pairs"] = f"""WITH {_TR_SQL},
+rend AS (SELECT conv_id, turn_idx, role, text,
+                role || ': ' || text AS rendered
+         FROM tr),
+ctx AS (
+  SELECT conv_id, turn_idx, role, text AS response,
+         string_agg(rendered, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {TR_CTX} PRECEDING AND 1 PRECEDING) AS prompt
+  FROM rend
+)
+SELECT conv_id, cast(turn_idx AS BIGINT) AS turn_idx, prompt, response
+FROM ctx
+WHERE role = 'assistant' AND prompt IS NOT NULL AND prompt <> ''"""
+
+# \\x1f/\\x1e unit separators mirror ops/transcripts.py FIELD_SEP/TURN_SEP
+ORACLES["conv_dedup"] = f"""WITH {_TR_SQL},
+fp AS (SELECT conv_id,
+              md5(string_agg(role || chr(31) || text, chr(30)
+                             ORDER BY turn_idx)) AS conv_hash
+       FROM tr GROUP BY conv_id)
+SELECT conv_id, conv_hash,
+       min(conv_id) OVER (PARTITION BY conv_hash) AS canonical_conv_id,
+       cast(CASE WHEN row_number() OVER (PARTITION BY conv_hash
+                                         ORDER BY conv_id ASC) > 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM fp"""
+
+
 def registry():
     return {
         "tiered_topk": q_tiered_topk,
         "rerank2_topk": q_rerank2_topk,
         "incr_dedup_flags": q_incr_dedup_flags,
         "incr_simhash_hits": q_incr_simhash_hits,
+        "conv_stats": q_conv_stats,
+        "sft_pairs": q_sft_pairs,
+        "conv_dedup": q_conv_dedup,
     }
