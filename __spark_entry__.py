@@ -188,6 +188,10 @@ _PRIORITY: list[str] = [
     "conv_stats",           # per-conversation rollup
     "sft_pairs",            # prompt/response training-pair extraction
     "conv_dedup",           # whole-conversation exact dedup
+    "conv_maxp_topk",       # MaxP passage→conversation retrieval
+    "conv_sump_topk",       # SumP variant
+    "tool_transitions",     # tool-call bigram mining
+    "conv_durations",       # ts-based conversation span/gap rollup
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

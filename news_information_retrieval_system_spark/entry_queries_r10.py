@@ -385,6 +385,11 @@ FROM ham WHERE hd <= {ID_SH_HAMMING}"""
 TR_TURNS = 4
 TR_PLANT_MOD, TR_PLANT_REM = 7, 3
 TR_CTX = 2  # sft_pairs context window (turns)
+# ts fixture: epoch + 60s per turn + a 5s·(doc_id % 11) wobble, so
+# inter-turn gaps vary (65s normally, 10s at the mod-11 wrap) but stay
+# strictly positive — conversation_durations has real min/max spread.
+TR_EPOCH = 1_700_000_000
+TR_STEP, TR_WOBBLE_MOD, TR_WOBBLE = 60, 11, 5
 
 
 def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +414,11 @@ def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 5 == 4, "python")
         .otherwise("")
         .alias("tool"),
+        F.timestamp_seconds(
+            F.lit(TR_EPOCH)
+            + F.col("doc_id") * TR_STEP
+            + (F.col("doc_id") % TR_WOBBLE_MOD) * TR_WOBBLE
+        ).alias("ts"),
     )
 
 
@@ -421,7 +431,9 @@ _TR_SQL = f"""tr AS (
               ELSE text END AS text,
          CASE WHEN doc_id % 5 = 2 THEN 'search'
               WHEN doc_id % 5 = 4 THEN 'python'
-              ELSE '' END AS tool
+              ELSE '' END AS tool,
+         to_timestamp({TR_EPOCH} + doc_id * {TR_STEP}
+                      + (doc_id % {TR_WOBBLE_MOD}) * {TR_WOBBLE}) AS ts
   FROM documents
 )"""
 
@@ -501,6 +513,122 @@ SELECT conv_id, cast(turn_idx AS BIGINT) AS turn_idx, prompt, response
 FROM ctx
 WHERE role = 'assistant' AND prompt IS NOT NULL AND prompt <> ''"""
 
+# ------------------------------------- conversation-grain retrieval + ts
+# Conversation retrieval scores RAW turn text (the planted-text rewrite
+# in _tr is a dedup-only fixture feature), so it reuses the cached
+# turn-grain index; the conversation is just the doc_id // TR_TURNS
+# grouping both engines share.
+
+
+def _conv_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("c"), F.floor(F.col("doc_id") / TR_TURNS).cast("string")
+        ).alias("conv_id"),
+    )
+
+
+def _q_conv_rank(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    from .ops.transcripts import conversation_rank
+    from .query.bm25 import score_bm25
+
+    scores = score_bm25(_index(spark, sf_dir), _qterms(spark), k1=K1, b=B)
+    out = conversation_rank(
+        scores, _conv_map(spark, sf_dir), k=TOPK, method=method
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "conv_id",
+        _e5(),
+        F.col("n_matching_turns").cast("long").alias("n_matching_turns"),
+    )
+
+
+def q_conv_maxp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_conv_rank(spark, sf_dir, "maxp")
+
+
+def q_conv_sump_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_conv_rank(spark, sf_dir, "sump")
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import tool_transitions
+
+    out = tool_transitions(_tr(spark, sf_dir))
+    return out.select(
+        "prev_tool",
+        "tool",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("n_conversations").cast("long").alias("n_conversations"),
+    )
+
+
+def q_conv_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import conversation_durations
+
+    out = conversation_durations(_tr(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("duration_s").cast("long").alias("duration_s"),
+        F.col("min_gap_s").cast("long").alias("min_gap_s"),
+        F.col("max_gap_s").cast("long").alias("max_gap_s"),
+    )
+
+
+def _conv_rank_sql(agg: str) -> str:
+    return f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+conv AS (
+  SELECT query_id, 'c' || (doc_id // {TR_TURNS})::VARCHAR AS conv_id,
+         {agg}(score) AS score, count(*) AS n_matching_turns
+  FROM scored GROUP BY query_id, conv_id
+),
+rk AS (SELECT query_id, conv_id, score, n_matching_turns,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC,
+                                          conv_id ASC) AS rank
+       FROM conv)
+SELECT query_id, cast(rank AS BIGINT) AS rank, conv_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp,
+       cast(n_matching_turns AS BIGINT) AS n_matching_turns
+FROM rk WHERE rank <= {TOPK}"""
+
+
+ORACLES["conv_maxp_topk"] = _conv_rank_sql("max")
+ORACLES["conv_sump_topk"] = _conv_rank_sql("sum")
+
+ORACLES["tool_transitions"] = f"""WITH {_TR_SQL},
+seq AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_tool
+  FROM tr WHERE tool <> ''
+)
+SELECT prev_tool, tool,
+       cast(count(*) AS BIGINT) AS n_transitions,
+       cast(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
+FROM seq WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool"""
+
+ORACLES["conv_durations"] = f"""WITH {_TR_SQL},
+g AS (
+  SELECT conv_id, cast(epoch(ts) AS BIGINT) AS es,
+         cast(epoch(ts) AS BIGINT)
+           - lag(cast(epoch(ts) AS BIGINT))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM tr
+)
+SELECT conv_id, cast(count(*) AS BIGINT) AS n_turns,
+       cast(max(es) - min(es) AS BIGINT) AS duration_s,
+       cast(min(gap_s) AS BIGINT) AS min_gap_s,
+       cast(max(gap_s) AS BIGINT) AS max_gap_s
+FROM g GROUP BY conv_id"""
+
+
 # \\x1f/\\x1e unit separators mirror ops/transcripts.py FIELD_SEP/TURN_SEP
 ORACLES["conv_dedup"] = f"""WITH {_TR_SQL},
 fp AS (SELECT conv_id,
@@ -524,4 +652,8 @@ def registry():
         "conv_stats": q_conv_stats,
         "sft_pairs": q_sft_pairs,
         "conv_dedup": q_conv_dedup,
+        "conv_maxp_topk": q_conv_maxp_topk,
+        "conv_sump_topk": q_conv_sump_topk,
+        "tool_transitions": q_tool_transitions,
+        "conv_durations": q_conv_durations,
     }

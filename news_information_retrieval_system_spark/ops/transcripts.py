@@ -100,6 +100,94 @@ def sft_pairs(
     ).select("conv_id", "turn_idx", "prompt", "response")
 
 
+def conversation_rank(
+    turn_scores: DataFrame,
+    turn_conv: DataFrame,
+    k: int = 10,
+    method: str = "maxp",
+) -> DataFrame:
+    """Passage-based conversation retrieval: turn-grain relevance scores
+    aggregated to the conversation (MaxP / SumP passage aggregation,
+    Liu & Croft 2002; the turn is the passage). ``turn_scores`` is any
+    (query_id, doc_id, score) frame — e.g. query/bm25.py score_bm25 —
+    and ``turn_conv`` maps doc_id → conv_id.
+
+    → (query_id, rank, conv_id, score, n_matching_turns), top-k
+    conversations per query, ties (round9(score) desc, conv_id asc).
+
+    Scale shape: the doc→conv map joins on the scoring frame's existing
+    doc_id key (co-partitioned if the corpus is bucketed by doc_id), then
+    ONE groupBy on (query_id, conv_id) — at 10^12 turns the aggregation
+    is map-side-combining on a key strictly coarser than the turn, so the
+    conversation rollup shuffles fewer rows than the turn scoring already
+    did. MaxP uses max (order-independent); SumP sums ≤ turns-per-conv
+    doubles, rounded to 9dp before ranking so tie order is
+    partitioning-invariant."""
+    aggs = {"maxp": F.max, "sump": F.sum}
+    if method not in aggs:
+        raise ValueError(f"conversation_rank: unknown method {method!r}")
+    conv = (
+        turn_scores.join(turn_conv, "doc_id")
+        .groupBy("query_id", "conv_id")
+        .agg(
+            aggs[method]("score").alias("score"),
+            F.count("*").alias("n_matching_turns"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("conv_id")
+    )
+    return (
+        conv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "conv_id", "score", "n_matching_turns")
+    )
+
+
+def tool_transitions(turns: DataFrame) -> DataFrame:
+    """→ (prev_tool, tool, n_transitions, n_conversations): corpus-wide
+    tool-call bigram mining — for each conversation, the sequence of
+    TOOL-CALL turns in turn order (non-tool turns skipped), counted as
+    (prev_tool → tool) transitions. One window lag partitioned by
+    conv_id + one global groupBy over a vocabulary-sized key space."""
+    has_tool = F.col("tool").isNotNull() & (F.col("tool") != "")
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    seq = turns.filter(has_tool).select(
+        "conv_id",
+        "tool",
+        F.lag("tool").over(w).alias("prev_tool"),
+    )
+    return (
+        seq.filter(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.count_distinct("conv_id").alias("n_conversations"),
+        )
+    )
+
+
+def conversation_durations(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """→ (conv_id, n_turns, duration_s, min_gap_s, max_gap_s): wall-clock
+    rollup from the transcript's ``ts`` column — conversation span plus
+    the min/max inter-turn gap in turn order (integer seconds, so the
+    oracle comparison is exact). One lag window + one groupBy on
+    conv_id, the same single-shuffle shape as conversation_stats."""
+    es = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    g = turns.select(
+        "conv_id",
+        es.alias("es"),
+        (es - F.lag(es).over(w)).alias("gap_s"),
+    )
+    return g.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
 def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     """→ (conv_id, conv_hash): md5 over the conversation's ordered
     (role, text) turn sequence, canonicalized with sort_array so the

@@ -2,11 +2,17 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from news_information_retrieval_system_spark.ops.transcripts import (
     conversation_dedup,
+    conversation_durations,
     conversation_fingerprints,
+    conversation_rank,
     conversation_stats,
     sft_pairs,
+    tool_transitions,
 )
 
 TURNS = [
@@ -73,6 +79,78 @@ def test_conversation_dedup_groups(spark):
     # role flip changes the fingerprint
     assert out["c4"]["conv_hash"] != out["c2"]["conv_hash"]
     assert out["c2"]["is_dup"] == 0 and out["c4"]["is_dup"] == 0
+
+
+def test_conversation_rank_maxp_sump(spark):
+    # hand-built turn scores: c1 has one strong turn, c2 two medium ones
+    scores = spark.createDataFrame(
+        [
+            ("q1", 10, 5.0),  # doc 10 ∈ c1
+            ("q1", 11, 0.5),  # doc 11 ∈ c1
+            ("q1", 20, 3.0),  # doc 20 ∈ c2
+            ("q1", 21, 3.0),  # doc 21 ∈ c2
+        ],
+        "query_id string, doc_id int, score double",
+    )
+    conv = spark.createDataFrame(
+        [(10, "c1"), (11, "c1"), (20, "c2"), (21, "c2")],
+        "doc_id int, conv_id string",
+    )
+    maxp = {
+        r.conv_id: (r.rank, r.score, r.n_matching_turns)
+        for r in conversation_rank(scores, conv, k=5, method="maxp").collect()
+    }
+    # MaxP: c1 wins on its single 5.0 turn
+    assert maxp["c1"] == (1, 5.0, 2) and maxp["c2"] == (2, 3.0, 2)
+    sump = {
+        r.conv_id: (r.rank, r.score)
+        for r in conversation_rank(scores, conv, k=5, method="sump").collect()
+    }
+    # SumP: c2's 3+3 beats c1's 5+0.5
+    assert sump["c2"] == (1, 6.0) and sump["c1"] == (2, 5.5)
+    with pytest.raises(ValueError):
+        conversation_rank(scores, conv, method="meanp")
+
+
+def test_tool_transitions_skip_non_tool_turns(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", ""),
+            ("c1", 1, "assistant", "x", "search"),
+            ("c1", 2, "user", "x", ""),  # skipped: not a tool call
+            ("c1", 3, "assistant", "x", "python"),
+            ("c1", 4, "assistant", "x", "python"),
+            ("c2", 0, "assistant", "x", "search"),
+            ("c2", 1, "assistant", "x", "python"),
+        ],
+        SCHEMA,
+    )
+    out = {
+        (r.prev_tool, r.tool): (r.n_transitions, r.n_conversations)
+        for r in tool_transitions(turns).collect()
+    }
+    # search→python bridges c1's non-tool turn 2, and occurs in both convs
+    assert out[("search", "python")] == (2, 2)
+    assert out[("python", "python")] == (1, 1)
+    assert len(out) == 2  # no transition crosses a conversation boundary
+
+
+def test_conversation_durations(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", "", "2026-01-01 00:00:00"),
+            ("c1", 1, "assistant", "x", "", "2026-01-01 00:00:10"),
+            ("c1", 2, "user", "x", "", "2026-01-01 00:01:10"),
+            ("c2", 0, "user", "x", "", "2026-01-01 00:00:00"),
+        ],
+        SCHEMA + ", ts_str string",
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    out = {r.conv_id: r.asDict() for r in conversation_durations(turns).collect()}
+    assert out["c1"]["duration_s"] == 70
+    assert out["c1"]["min_gap_s"] == 10 and out["c1"]["max_gap_s"] == 60
+    # single-turn conversation: zero span, no gaps
+    assert out["c2"]["duration_s"] == 0
+    assert out["c2"]["min_gap_s"] is None and out["c2"]["max_gap_s"] is None
 
 
 def test_fingerprints_partitioning_invariant(spark):
