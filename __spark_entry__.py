@@ -192,6 +192,7 @@ _PRIORITY: list[str] = [
     "conv_sump_topk",       # SumP variant
     "tool_transitions",     # tool-call bigram mining
     "conv_durations",       # ts-based conversation span/gap rollup
+    "turn_context_topk",    # top-k turns with neighboring-turn context
     # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
     # first to rotate back in once the round-4 additions have their rows
     "bm25_topk",

@@ -579,6 +579,70 @@ def q_conv_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_context_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.transcripts import turn_context
+    from .query.bm25 import bm25_topk
+
+    hits = bm25_topk(_index(spark, sf_dir), _qterms(spark), k=TOPK)
+    raw_turns = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("c"), F.floor(F.col("doc_id") / TR_TURNS).cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % TR_TURNS).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "text",
+    )
+    out = turn_context(raw_turns, hits, before=1, after=1)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "context_before",
+        "context_after",
+    )
+
+
+ORACLES["turn_context_topk"] = f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC,
+                                          doc_id ASC) AS rank
+       FROM scored),
+trr AS (
+  SELECT doc_id, 'c' || (doc_id // {TR_TURNS})::VARCHAR AS conv_id,
+         doc_id % {TR_TURNS} AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+           || ': ' || text AS rendered
+  FROM documents
+),
+ctx AS (
+  SELECT doc_id, conv_id, turn_idx,
+         coalesce(string_agg(rendered, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING), '')
+           AS context_before,
+         coalesce(string_agg(rendered, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING), '')
+           AS context_after
+  FROM trr
+)
+SELECT rk.query_id, cast(rk.rank AS BIGINT) AS rank,
+       cast(rk.doc_id AS BIGINT) AS doc_id,
+       cast(round(rk.score * 100000) AS BIGINT) AS score_5dp,
+       ctx.conv_id, cast(ctx.turn_idx AS BIGINT) AS turn_idx,
+       ctx.context_before, ctx.context_after
+FROM rk JOIN ctx ON rk.doc_id = ctx.doc_id
+WHERE rk.rank <= {TOPK}"""
+
+
 def _conv_rank_sql(agg: str) -> str:
     return f"""{_SQL_BASE},
 {_SQL_BM25_SCORED},
@@ -656,4 +720,5 @@ def registry():
         "conv_sump_topk": q_conv_sump_topk,
         "tool_transitions": q_tool_transitions,
         "conv_durations": q_conv_durations,
+        "turn_context_topk": q_turn_context_topk,
     }

@@ -144,6 +144,50 @@ def conversation_rank(
     )
 
 
+def turn_context(
+    turns: DataFrame,
+    hits: DataFrame,
+    id_col: str = "doc_id",
+    before: int = 1,
+    after: int = 1,
+    turn_format: str = "{role}: {text}",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Conversation-grain KWIC: attach the surrounding turns to retrieved
+    turn hits. ``turns`` carries (``id_col``, conv_id, turn_idx, role,
+    text); ``hits`` is any small ranked frame keyed on ``id_col`` (e.g.
+    bm25_topk output). → hits columns + (conv_id, turn_idx,
+    context_before, context_after), where the contexts are the ≤
+    ``before``/``after`` adjacent turns rendered ``turn_format`` and
+    joined by ``joiner`` ('' when the hit is at a conversation edge).
+
+    Scale shape: lag/lead context is two rows-frames over ONE window
+    spec (single shuffle on conv_id, none under a conv-bucketed table);
+    the hit set is k·|queries| rows, broadcast into the context frame so
+    the join never shuffles the corpus a second time."""
+    rendered = F.concat(
+        F.lit(turn_format.split("{role}")[0]),
+        F.col("role"),
+        F.lit(turn_format.split("{role}")[1].split("{text}")[0]),
+        F.col("text"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    ctx = turns.select(
+        id_col,
+        "conv_id",
+        "turn_idx",
+        F.array_join(
+            F.collect_list(rendered).over(w.rowsBetween(-before, -1)),
+            joiner,
+        ).alias("context_before"),
+        F.array_join(
+            F.collect_list(rendered).over(w.rowsBetween(1, after)),
+            joiner,
+        ).alias("context_after"),
+    )
+    return ctx.join(F.broadcast(hits), id_col)
+
+
 def tool_transitions(turns: DataFrame) -> DataFrame:
     """→ (prev_tool, tool, n_transitions, n_conversations): corpus-wide
     tool-call bigram mining — for each conversation, the sequence of

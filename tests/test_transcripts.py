@@ -153,6 +153,43 @@ def test_conversation_durations(spark):
     assert out["c2"]["min_gap_s"] is None and out["c2"]["max_gap_s"] is None
 
 
+def test_turn_context_edges_and_window(spark):
+    from news_information_retrieval_system_spark.ops.transcripts import (
+        turn_context,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            (10, "c1", 0, "user", "first"),
+            (11, "c1", 1, "assistant", "second"),
+            (12, "c1", 2, "user", "third"),
+            (20, "c2", 0, "user", "alone"),
+        ],
+        "doc_id int, conv_id string, turn_idx int, role string, text string",
+    )
+    hits = spark.createDataFrame(
+        [("q1", 1, 11, 2.0), ("q1", 2, 10, 1.0), ("q2", 1, 20, 3.0)],
+        "query_id string, rank int, doc_id int, score double",
+    )
+    out = {
+        (r.query_id, r.doc_id): r.asDict()
+        for r in turn_context(turns, hits, before=1, after=1).collect()
+    }
+    mid = out[("q1", 11)]
+    assert mid["context_before"] == "user: first"
+    assert mid["context_after"] == "user: third"
+    # conversation start: empty before-context, not NULL
+    head = out[("q1", 10)]
+    assert head["context_before"] == "" and head["context_after"] == "assistant: second"
+    # single-turn conversation: both edges empty
+    solo = out[("q2", 20)]
+    assert solo["context_before"] == "" and solo["context_after"] == ""
+    # wider window renders in turn order
+    wide = turn_context(turns, hits, before=2, after=2).collect()
+    w12 = {r.doc_id: r for r in wide if r.query_id == "q1"}
+    assert w12[10].context_after == "assistant: second\nuser: third"
+
+
 def test_fingerprints_partitioning_invariant(spark):
     base = {
         r.conv_id: r.conv_hash
