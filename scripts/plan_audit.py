@@ -675,6 +675,97 @@ def main() -> int:
         "",
     )
 
+    # -------------------------------------------- conversation-grain ops
+    from news_information_retrieval_system_spark.entry_queries_r10 import _tr
+    from news_information_retrieval_system_spark.ops.transcripts import (
+        conversation_rank,
+        conversation_stats,
+        tool_transitions,
+        turn_context,
+    )
+    from news_information_retrieval_system_spark.query.bm25 import score_bm25
+
+    turns = _tr(spark, sf_dir)
+    p = explain_str(conversation_stats(turns))
+    dumps.append(("conversation_stats (per-conv rollup)", p))
+    check(
+        "conversation_stats",
+        "partial aggregation before exchange",
+        "partial_count" in p or "partial_sum" in p,
+        "map-side combine on conv_id — the exchange carries one row per "
+        "conversation per map partition, not one per turn",
+    )
+    check(
+        "conversation_stats",
+        "rollup all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+
+    conv_map = spark.read.parquet(docs_path).select(
+        "doc_id",
+        F.concat(F.lit("c"), F.floor(F.col("doc_id") / 4).cast("string")).alias(
+            "conv_id"
+        ),
+    )
+    scores = score_bm25(idx, q)
+    p = explain_str(conversation_rank(scores, conv_map, k=10, method="maxp"))
+    dumps.append(("conversation_rank (MaxP passage→conversation)", p))
+    check(
+        "conversation_rank",
+        "partial max before the conv exchange",
+        "partial_max" in p,
+        "the conversation rollup combines map-side on a key coarser than "
+        "the turn — the exchange moves fewer rows than scoring did",
+    )
+    check(
+        "conversation_rank",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "partial top-k per partition before the final per-query sort",
+    )
+    check(
+        "conversation_rank",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "",
+    )
+
+    hits = bm25_topk(idx, q, k=10)
+    raw_turns = spark.read.parquet(docs_path).select(
+        "doc_id",
+        F.concat(F.lit("c"), F.floor(F.col("doc_id") / 4).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        "text",
+    )
+    p = explain_str(turn_context(raw_turns, hits))
+    dumps.append(("turn_context (conversation-grain KWIC)", p))
+    check(
+        "turn_context",
+        "hit set broadcast into the context frame",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+        "k·|queries| hits never force a corpus shuffle for the join",
+    )
+    check(
+        "turn_context",
+        "context window all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+
+    p = explain_str(tool_transitions(turns))
+    dumps.append(("tool_transitions (tool-call bigrams)", p))
+    check(
+        "tool_transitions",
+        "partial aggregation before the bigram exchange",
+        "partial_count" in p,
+        "the final groupBy key space is vocabulary-sized; map-side "
+        "combine keeps the exchange tiny",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
