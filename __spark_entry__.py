@@ -190,6 +190,7 @@ _PRIORITY: list[str] = [
     "conv_dedup",           # whole-conversation exact dedup
     "conv_maxp_topk",       # MaxP passage→conversation retrieval
     "conv_sump_topk",       # SumP variant
+    "conv_decay_topk",      # recency-decayed (2^-age turn weights)
     "tool_transitions",     # tool-call bigram mining
     "conv_durations",       # ts-based conversation span/gap rollup
     "turn_context_topk",    # top-k turns with neighboring-turn context

@@ -554,6 +554,33 @@ def q_conv_sump_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_conv_rank(spark, sf_dir, "sump")
 
 
+def q_conv_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed conversation retrieval: score · 2^-(last - turn)
+    per matching turn (ops/transcripts.py conversation_rank_decay). The
+    halving weights are exact binary scalings, so the oracle reproduces
+    every per-turn weighted score bit-identically; the cross-turn sum
+    carries the same fp-order exposure as conv_sump_topk (5dp export)."""
+    from .ops.transcripts import conversation_rank_decay
+    from .query.bm25 import score_bm25
+
+    scores = score_bm25(_index(spark, sf_dir), _qterms(spark), k1=K1, b=B)
+    tmap = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("c"), F.floor(F.col("doc_id") / TR_TURNS).cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % TR_TURNS).cast("int").alias("turn_idx"),
+    )
+    out = conversation_rank_decay(scores, tmap, k=TOPK)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "conv_id",
+        _e5(),
+        F.col("n_matching_turns").cast("long").alias("n_matching_turns"),
+    )
+
+
 def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.transcripts import tool_transitions
 
@@ -665,6 +692,40 @@ FROM rk WHERE rank <= {TOPK}"""
 ORACLES["conv_maxp_topk"] = _conv_rank_sql("max")
 ORACLES["conv_sump_topk"] = _conv_rank_sql("sum")
 
+# recency decay: per-turn weight is an exact power-of-two scaling
+# (bigint shift, clamped at 62 like the Spark path), so both engines
+# compute identical per-turn doubles before the summed rollup
+ORACLES["conv_decay_topk"] = f"""{_SQL_BASE},
+{_SQL_BM25_SCORED},
+tm AS (
+  SELECT doc_id, 'c' || (doc_id // {TR_TURNS})::VARCHAR AS conv_id,
+         doc_id % {TR_TURNS} AS turn_idx
+  FROM documents
+),
+lastt AS (SELECT conv_id, max(turn_idx) AS last_idx FROM tm GROUP BY conv_id),
+wtd AS (
+  SELECT s.query_id, tm.conv_id,
+         s.score / (1::BIGINT << least(lastt.last_idx - tm.turn_idx, 62))::DOUBLE
+           AS wscore
+  FROM scored s
+  JOIN tm ON s.doc_id = tm.doc_id
+  JOIN lastt ON tm.conv_id = lastt.conv_id
+),
+conv AS (
+  SELECT query_id, conv_id, sum(wscore) AS score,
+         count(*) AS n_matching_turns
+  FROM wtd GROUP BY query_id, conv_id
+),
+rk AS (SELECT query_id, conv_id, score, n_matching_turns,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC,
+                                          conv_id ASC) AS rank
+       FROM conv)
+SELECT query_id, cast(rank AS BIGINT) AS rank, conv_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp,
+       cast(n_matching_turns AS BIGINT) AS n_matching_turns
+FROM rk WHERE rank <= {TOPK}"""
+
 ORACLES["tool_transitions"] = f"""WITH {_TR_SQL},
 seq AS (
   SELECT conv_id, tool,
@@ -718,6 +779,7 @@ def registry():
         "conv_dedup": q_conv_dedup,
         "conv_maxp_topk": q_conv_maxp_topk,
         "conv_sump_topk": q_conv_sump_topk,
+        "conv_decay_topk": q_conv_decay_topk,
         "tool_transitions": q_tool_transitions,
         "conv_durations": q_conv_durations,
         "turn_context_topk": q_turn_context_topk,

@@ -144,6 +144,65 @@ def conversation_rank(
     )
 
 
+def conversation_rank_decay(
+    turn_scores: DataFrame,
+    turn_conv: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Recency-decayed conversation retrieval: MaxP/SumP's sibling for
+    agent-memory lookups, where a hit in a conversation's LAST turns
+    should outrank the same hit buried early. Each matching turn
+    contributes ``score · 2^-(last_turn - turn_idx)`` — exact halving
+    per turn of age, so the per-turn weight is a single exact binary
+    scaling (no transcendental pow) that any engine reproduces
+    bit-identically; only the cross-turn sum is subject to fp order,
+    the same exposure SumP already carries. ``turn_conv`` maps
+    doc_id → (conv_id, turn_idx); the conversation's last turn is
+    derived here (one map-side-combinable max per conv_id).
+
+    → (query_id, rank, conv_id, score, n_matching_turns), top-k per
+    query, ties (round9(score) desc, conv_id asc).
+
+    Scale shape: same as conversation_rank — the doc→conv join rides
+    the scoring frame's doc_id key, the last-turn agg and the final
+    rollup both group on keys coarser than the turn, and under the
+    conv-bucketed ingest layout (sources.write_transcripts) the
+    conv_id exchanges vanish. The age exponent is clamped at 62 so the
+    bigint shift never wraps; turns older than 62 steps contribute
+    ~2^-62 ≈ 0, which is the semantics a recency prior wants.
+    """
+    last = turn_conv.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("last_idx")
+    )
+    weighted = (
+        turn_scores.join(turn_conv, "doc_id")
+        .join(last, "conv_id")
+        .withColumn(
+            "age",
+            F.least(
+                F.col("last_idx") - F.col("turn_idx"), F.lit(62)
+            ).cast("int"),
+        )
+        .withColumn(
+            "wscore",
+            F.col("score")
+            / F.expr("cast(shiftleft(cast(1 as bigint), age) as double)"),
+        )
+    )
+    conv = weighted.groupBy("query_id", "conv_id").agg(
+        F.sum("wscore").alias("score"),
+        F.count("*").alias("n_matching_turns"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("conv_id")
+    )
+    return (
+        conv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "conv_id", "score", "n_matching_turns")
+    )
+
+
 def turn_context(
     turns: DataFrame,
     hits: DataFrame,

@@ -112,6 +112,47 @@ def test_conversation_rank_maxp_sump(spark):
         conversation_rank(scores, conv, method="meanp")
 
 
+def test_conversation_rank_decay(spark):
+    from news_information_retrieval_system_spark.ops.transcripts import (
+        conversation_rank_decay,
+    )
+
+    scores = spark.createDataFrame(
+        [
+            ("q1", 10, 1.0),   # c1 turn 0 (age 1 → ×1/2)
+            ("q1", 11, 2.0),   # c1 turn 1 = last (age 0 → ×1)
+            ("q1", 20, 2.4),   # c2 turn 0 = last (age 0 → ×1)
+        ],
+        "query_id string, doc_id int, score double",
+    )
+    conv = spark.createDataFrame(
+        [(10, "c1", 0), (11, "c1", 1), (20, "c2", 0)],
+        "doc_id int, conv_id string, turn_idx int",
+    )
+    got = {
+        r.conv_id: (r.rank, r.score, r.n_matching_turns)
+        for r in conversation_rank_decay(scores, conv, k=5).collect()
+    }
+    # c1 = 1.0/2 + 2.0 = 2.5 beats c2 = 2.4; halving weights are exact
+    assert got["c1"] == (1, 2.5, 2)
+    assert got["c2"] == (2, 2.4, 1)
+
+    # every conversation's only matching turn at its last index →
+    # decay ≡ SumP ≡ MaxP (weight 2^0 = 1 everywhere)
+    one = scores.filter(F.col("doc_id") != 10)
+    decay = {
+        (r.conv_id): r.score
+        for r in conversation_rank_decay(one, conv, k=5).collect()
+    }
+    sump = {
+        (r.conv_id): r.score
+        for r in conversation_rank(
+            one, conv.select("doc_id", "conv_id"), k=5, method="sump"
+        ).collect()
+    }
+    assert decay == sump
+
+
 def test_tool_transitions_skip_non_tool_turns(spark):
     turns = spark.createDataFrame(
         [
