@@ -731,6 +731,46 @@ def main() -> int:
         "",
     )
 
+    from news_information_retrieval_system_spark.ops.transcripts import (
+        conversation_rank_decay,
+    )
+
+    tmap = spark.read.parquet(docs_path).select(
+        "doc_id",
+        F.concat(F.lit("c"), F.floor(F.col("doc_id") / 4).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+    )
+    p = explain_str(conversation_rank_decay(scores, tmap, k=10))
+    dumps.append(("conversation_rank_decay (recency-weighted rollup)", p))
+    check(
+        "conversation_rank_decay",
+        "partial sum before the conv exchange",
+        "partial_sum" in p,
+        "the decayed rollup still combines map-side — the per-turn 2^-age "
+        "weight is applied before aggregation, so the exchange carries one "
+        "row per (query, conv) per map partition",
+    )
+    check(
+        "conversation_rank_decay",
+        "decay weights all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "shiftleft + divide are codegen expressions",
+    )
+    check(
+        "conversation_rank_decay",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "",
+    )
+    check(
+        "conversation_rank_decay",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "",
+    )
+
     hits = bm25_topk(idx, q, k=10)
     raw_turns = spark.read.parquet(docs_path).select(
         "doc_id",
