@@ -47,7 +47,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # the back. Keep this list in sync when adding queries: new names go in
 # the first 50.
 _PRIORITY: list[str] = [
-    # -- never driver-checked before round 4 (VERDICT r3 "Next round" #1)
+    # ---- ROUND-5 WINDOW (first 50) ------------------------------------
+    # VERDICT r4 "Next round" #1: rotate every never-driver-checked entry
+    # into the window. The 45 names below are exactly the registry entries
+    # with no CORRECTNESS row in r01-r04 (computed from the driver JSONs by
+    # scripts/coverage_counts.py); all are local-replica green and several
+    # were judge-spot-verified in r4. Order: the operators VERDICT named
+    # first (T7 csoundex, T8 ner, T3 fmm), then the round-4-late families.
+    "csoundex_codes",
+    "csoundex_homophones",
+    "csoundex_similar",
+    "ner_entities",
+    "ner_type_stats",
+    "ner_top_entities",
+    "fmm_segments",
+    "conv_stats",
+    "sft_pairs",
+    "conv_dedup",
+    "conv_maxp_topk",
+    "conv_sump_topk",
+    "conv_decay_topk",
+    "tool_transitions",
+    "conv_durations",
+    "turn_context_topk",
+    "bpe_merges",
+    "bpe_token_counts",
+    "semantic_dedup",
+    "bm25f_topk",
+    "sdm_topk",
+    "champion_topk",
+    "tiered_topk",
+    "rerank2_topk",
+    "incr_dedup_flags",
+    "incr_simhash_hits",
+    "span_removed_docs",
+    "quality_model_features",
+    "quality_model_scores",
+    "quality_model_coefs",
+    "temperature_mix",
+    "mi_patterns",
+    "phrase_blocked_docs",
+    "near_blocked_docs",
+    "window_blocked_docs",
+    "pr_curve",
+    "shuffle_order",
+    "normalized_records",   # round 5 extends this with taxonomy mapping
+    "ltr_train_coefs",
+    "term_clusters_editdist",
+    "packed_sequences",
+    "packing_stats",
+    "json_array_docs",
+    "dataset_splits",
+    "contamination_overlap",
+    # ---- round-5 additions (VERDICT #2-#5): new ops + one in-window
+    # suite digest proving the window-compression mechanism end-to-end.
+    "cf_user_recs",
+    "cf_item_recs",
+    "search_log_stats",
+    "cluster_labels",
+    "suite_digest_lexical",
+    # ---------------------------------------------------------------------
+    # everything below is past the driver's 50-entry window this round; all
+    # have green driver rows from r01-r04 (see COVERAGE.md rotation ledger)
+    # or, for the round-5-late digests/drift-gates, a named in-window gate.
+    "als_factors",          # pyspark.ml ALS drift-gate (pinned VALUES, like
+                            # ltr_train_coefs); CF family gated in-window by
+                            # cf_user_recs/cf_item_recs first-principles SQL
+    "suite_digest_dedup",   # local-replica green; mechanism proven by the
+    "suite_digest_conv",    # in-window suite_digest_lexical (same builder)
+    "suite_digest_quality",
+    # r4-green entries, newest first
     "hybrid_zscore_topk",
     "bool_field_phrase",
     "bm25_stopfilter_topk",
@@ -62,9 +131,6 @@ _PRIORITY: list[str] = [
     "related_docs",
     "key_sentences",
     "ltr_features",
-    # (ltr_train_coefs parked past the window: rows-only by design —
-    # a driver row adds nothing beyond pytest, and A12's oracle-backed
-    # gate is ltr_features above)
     "lda_topics",
     "hier_clusters",
     "feedback_event_stats",
@@ -75,127 +141,33 @@ _PRIORITY: list[str] = [
     "session_stats",
     "star_pairs",
     "editdist_pairs",
-    # (term_clusters_editdist parked past the window: same absorption
-    # code path as in-window term_clusters_cooc, pair input gated by
-    # in-window editdist_pairs)
     "cooc_pairs",
     "term_clusters_cooc",
-    # -- semantics changed in round 4: re-verify
-    "rocchio_terms",        # γ negative-feedback term added
-    # -- new round-4 entries
-    "simhash_exact_pairs",  # full banded pair set vs exact Hamming oracle
-    "model_unique_docs",    # Q27 unique-docs payload
-    "model_rank_changes",   # Q27 rank-span payload
+    "rocchio_terms",
+    "simhash_exact_pairs",
+    "model_unique_docs",
+    "model_rank_changes",
     "contract_violations",
-    # (normalized_records parked past the window: same data-contract
-    # module as in-window contract_violations, which counts rejects per
-    # rule; the normalize output is additionally pytest-pinned)
     "model_overlap",
     "query_suggestions",
     "json_docs",
-    "ef_stats",             # Elias-Fano codec: encoder bytes vs closed form
-    # (json_array_docs parked past the window: native multiLine
-    # spark.read.json variant of the in-window json_docs path)
-    "ivf_cosine_topk",      # IVF ANN: quantizer+probe+rerank hash-gated
-    "hybrid_dense_sparse_topk",  # Q21×A11 RRF over BM25 + dense cosine
-    "pfor_stats",           # PForDelta codec: encoder bytes vs closed-form
-    "pii_redacted",         # email scrub: count + redacted-text hash
-    "token_length_histogram",  # power-of-two sequence-length buckets
-    "llm_token_counts",     # BPE-ish regex token counter (portable)
-    "repetition_stats",     # Gopher-style duplicate/top-bigram signals
-    "split_leakage",        # cross-split exact-copy leak detector
-    "curation_accounting",  # composed curate_corpus: per-stage counts
-    "duplicate_spans",      # cross-doc repeated-span marking (exact-
-                            # substring-dedup marking pass, interval-
-                            # union coverage oracle)
-    "packed_examples",      # inverse packing map — oracle re-derives the
-                            # FULL placement + slice math (supersedes the
-                            # packed_sequences check, same code path)
-    "stratified_sample",    # deterministic mixture downsampling
-    "ppx_quality",          # CCNet-style bigram-LM perplexity flags
-    "eval_sig_test",        # paired t-test + Wilcoxon between two rankers
-    "corpus_audit",         # per-field completeness/length audit payload
-    # (packed_sequences + packing_stats sit just past the window — both
-    # are implied by packed_examples' stronger oracle)
-    # rotated out of the window, each superseded by a strictly stronger
-    # in-window gate on the same code path: simhash_pairs (by
-    # simhash_exact_pairs), jaccard_pairs + contamination_overlap (both
-    # re-derived stage-by-stage inside curation_accounting's oracle),
-    # dataset_splits (split_col recomputed byte-for-byte by
-    # split_leakage's oracle)
-    # ---------------------------------------------------------------------
-    # everything below is past the driver's 50-entry window this round:
-    "normalized_records",   # data-contract normalize output (module
-                            # gated in-window by contract_violations)
-    "shuffle_order",        # deterministic training-order shuffle
-                            # (salted-md5 shard + within-shard rank)
-    "packed_sequences",     # placement map (implied by packed_examples)
-    "packing_stats",        # aggregate over the placement map
-    "pr_curve",             # 11-point interpolated PR (oracle-backed)
-    "mi_patterns",          # PAT-tree pattern mining via n-gram MI
-    "phrase_blocked_docs",  # compressed-positional phrase kernel
-    "near_blocked_docs",    # compressed-positional NEAR/n kernel
-    "window_blocked_docs",  # compressed-positional window kernel
-    "ltr_train_coefs",      # rows-only (pyspark.ml LR, by design)
-    "term_clusters_editdist",  # same absorption path as _cooc (in-window)
-    # SemDeDup embedding-cluster near-dup pruning (round-4 session-3
-    # addition, local replica green; full-pipeline DuckDB re-derivation
-    # incl. every Lloyd iteration) — rotate in next round:
-    "semantic_dedup",
-    # BM25F weighted multi-field ranking (round-4 session-3 addition,
-    # local replica green; full per-field SQL re-derivation) — rotate in:
-    "bm25f_topk",
-    # fastText-style trained quality filter (round-4 session-3 addition):
-    # features + scoring oracles are first-principles SQL; coefs is an
-    # ltr-style drift-gate (pinned across two fresh JVMs) — rotate in:
-    "quality_model_features",
-    "quality_model_scores",
-    "quality_model_coefs",
-    # temperature-based source mixing (Pile/DoReMi resampling rule,
-    # round-4 session-3 addition; first-principles SQL oracle):
-    "temperature_mix",
-    # champion lists: impact-ordered static-prune tier (round-4 session-3
-    # addition; full SQL re-derivation of tier + scoring):
-    "champion_topk",
-    # sequential dependence model: LM + ordered/unordered positional
-    # pair features (round-4 session-3 addition; full SQL re-derivation):
-    "sdm_topk",
-    # T8 NER closed after the window filled (local replica green; offset
-    # goldens in tests/test_ner.py) — rotate in next round:
-    "ner_entities",
-    "ner_type_stats",
-    "ner_top_entities",
-    # exact-substring-dedup REMOVAL pass (islands merge + reconstruction
-    # md5-checked; marking sibling duplicate_spans is in-window):
-    "span_removed_docs",
-    # BPE tokenizer induction (24-round training loop re-derived round
-    # by round in the oracle) + token budgets under the trained vocab:
-    "bpe_merges",
-    "bpe_token_counts",
-    # T3/T4 testable fallback: FMM segmentation, hand-derived goldens:
-    "fmm_segments",
-    # round-4 session-4 additions (local replica green; window already
-    # full) — rotate in next round:
-    "tiered_topk",          # tiered impact-ordered index, per-query
-                            # adaptive fallback (full SQL re-derivation)
-    "rerank2_topk",         # two-phase retrieve-then-rerank, pinned
-                            # linear model over the LTR feature row
-    "incr_dedup_flags",     # incremental batch-vs-corpus exact dedup
-    "incr_simhash_hits",    # incremental fuzzy dedup vs stored SimHash
-                            # state (exact cross-Hamming oracle)
-    # conversation-grain ops over the derived transcript shape (round-4
-    # session-5; window already full) — rotate in next round:
-    "conv_stats",           # per-conversation rollup
-    "sft_pairs",            # prompt/response training-pair extraction
-    "conv_dedup",           # whole-conversation exact dedup
-    "conv_maxp_topk",       # MaxP passage→conversation retrieval
-    "conv_sump_topk",       # SumP variant
-    "conv_decay_topk",      # recency-decayed (2^-age turn weights)
-    "tool_transitions",     # tool-call bigram mining
-    "conv_durations",       # ts-based conversation span/gap rollup
-    "turn_context_topk",    # top-k turns with neighboring-turn context
-    # green in r02 (lm_kl/combmnz) or green r01-r03 (the stalwarts) —
-    # first to rotate back in once the round-4 additions have their rows
+    "ef_stats",
+    "ivf_cosine_topk",
+    "hybrid_dense_sparse_topk",
+    "pfor_stats",
+    "pii_redacted",
+    "token_length_histogram",
+    "llm_token_counts",
+    "repetition_stats",
+    "split_leakage",
+    "curation_accounting",
+    "duplicate_spans",
+    "packed_examples",
+    "stratified_sample",
+    "ppx_quality",
+    "eval_sig_test",
+    "corpus_audit",
+    # r01-r03-green stalwarts
     "bm25_topk",
     "lm_kl_topk",
     "hybrid_combmnz_topk",
