@@ -165,7 +165,13 @@ def q_incr_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# fuzzy: 16 four-bit bands cover the reported Hamming ≤ 15 by pigeonhole
+# fuzzy: 16 four-bit bands cover the reported Hamming ≤ 15 by pigeonhole.
+# NOTE (ADVICE r4): 4-bit band keys mean only 16 buckets per band, so the
+# banded candidate join degenerates toward batch×corpus as the corpus grows
+# — this permissive threshold is a small-sf ORACLE fixture (it makes the
+# exact cross-Hamming DuckDB re-derivation cover the full candidate set);
+# production callers should keep the default hamming=3/bands=4 (16-bit
+# keys), where banding genuinely prunes.
 ID_SH_HAMMING, ID_SH_BANDS = 15, 16
 
 

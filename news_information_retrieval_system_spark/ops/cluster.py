@@ -202,8 +202,10 @@ def hierarchical_doc_clusters(
     instead of re-enumerating every cross doc-pair (the reference's
     O(n²) per round), with identical linkage values (min/max exactly;
     the average's sum associates differently, same multiset). HAC is a
-    bounded-corpus algorithm — ``max_docs`` guards against feeding it a
-    100 TB table; at that scale use kmeans_assign.
+    bounded-corpus algorithm whose *default shape* is driver-bound —
+    ``max_docs`` guards against feeding it a 100 TB table; at that scale
+    use ``kmeans_assign`` (distributed Lloyd) or
+    ``ops.semdedup.semantic_dedup`` (cluster-bounded near-dup pruning).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -215,8 +217,11 @@ def hierarchical_doc_clusters(
         n = len(ids)
         if n > max_docs:
             raise ValueError(
-                f"HAC is O(n^3): {n} docs > max_docs={max_docs}; "
-                "sample/filter first or use kmeans_assign"
+                f"HAC is O(n^3) with an O(n^2) driver-side merge state: "
+                f"{n} docs > max_docs={max_docs}. This is a driver-bound "
+                "reference-parity op; at corpus scale use kmeans_assign "
+                "(distributed Lloyd) or semantic_dedup (cluster-bounded "
+                "near-dup pruning), or sample/filter first."
             )
         doc_pairs = pairwise_cosine(vectors, id_col, vec_col).collect()
     finally:

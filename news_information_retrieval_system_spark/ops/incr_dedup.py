@@ -122,7 +122,12 @@ def incremental_simhash_dedup(
             f"bands={bands} only guarantees Hamming <= {bands - 1}; "
             f"raise bands for hamming={hamming}"
         )
-    assert 64 % bands == 0
+    if 64 % bands != 0:
+        # a non-divisor would silently leave the high 64 % bands bits of
+        # every fingerprint out of all band keys (missed candidates), so
+        # fail loudly like the pigeonhole guard above — not via assert,
+        # which python -O strips
+        raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
 

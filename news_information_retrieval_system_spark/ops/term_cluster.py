@@ -202,7 +202,9 @@ def star_similarity_pairs(
     )
 
 
-def star_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
+def star_absorb(
+    terms_in_order: list[str], edges: dict, max_terms: int = 200_000
+) -> list[tuple[str, list[str]]]:
     """Reference-exact star clustering (term_cluster.py:193-294) over a
     precomputed sparse neighbor map: potentials are computed ONCE up
     front (self counts — similarities[(t,t)] = 1 passes any threshold),
@@ -211,7 +213,16 @@ def star_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[
     strictly-greater scan) becomes a center and absorbs its unclustered
     neighbors in term order. Driver-side O(|V| log |V| + |E|); feed it
     ``star_similarity_pairs(...).collect()`` edges.
+
+    DRIVER-BOUND PARITY OP: this is the reference's own sequential
+    absorption order, which no distributed relabeling reproduces —
+    ``max_terms`` caps the vocabulary that may be collected. At corpus
+    scale use ``edit_distance_clusters`` / ``cooccurrence_clusters``
+    (distributed connected-component labeling over the same pair
+    frames) and keep this for reference-exact comparisons on bounded
+    vocabularies.
     """
+    _guard_driver_vocab("star_absorb", len(terms_in_order), max_terms)
     rank = {t: i for i, t in enumerate(terms_in_order)}
     potential = {t: 1 + len(edges.get(t, ())) for t in terms_in_order}
     # centers in (potential desc, input order asc) — a static order, since
@@ -220,7 +231,9 @@ def star_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[
     return _absorb(by_potential, rank, edges)
 
 
-def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, list[str]]]:
+def greedy_absorb(
+    terms_in_order: list[str], edges: dict, max_terms: int = 200_000
+) -> list[tuple[str, list[str]]]:
     """Reference-exact greedy clustering (term_cluster.py:334-405) over a
     precomputed sparse neighbor map: the first unclustered term becomes a
     center and absorbs every still-unclustered neighbor. Pure driver-side
@@ -232,9 +245,24 @@ def greedy_absorb(terms_in_order: list[str], edges: dict) -> list[tuple[str, lis
     but by walking only the center's neighbor set — O(|E| log) overall
     instead of O(|V|²) (a mostly-singleton vocabulary would otherwise
     rescan every term per center).
+
+    DRIVER-BOUND PARITY OP: sequential first-wins center order — see
+    ``star_absorb``; at corpus scale use ``edit_distance_clusters`` /
+    ``cooccurrence_clusters`` instead.
     """
+    _guard_driver_vocab("greedy_absorb", len(terms_in_order), max_terms)
     rank = {t: i for i, t in enumerate(terms_in_order)}
     return _absorb(terms_in_order, rank, edges)
+
+
+def _guard_driver_vocab(op: str, n: int, max_terms: int) -> None:
+    if n > max_terms:
+        raise ValueError(
+            f"{op} is a driver-side reference-parity loop: {n} terms > "
+            f"max_terms={max_terms}. At corpus scale use the distributed "
+            "connected-component clusterings (edit_distance_clusters / "
+            "cooccurrence_clusters) instead, or raise max_terms knowingly."
+        )
 
 
 def _absorb(

@@ -39,6 +39,29 @@ FIELD_SEP = "\x1f"
 TURN_SEP = "\x1e"
 
 
+def _render_turn(turn_format: str):
+    """Column expression rendering a turn row under ``turn_format``.
+
+    The format must contain ``{role}`` followed by ``{text}`` exactly
+    once each; literal prefix / infix / suffix text around them is
+    preserved (previously any suffix after ``{text}`` was silently
+    dropped and a malformed format raised an opaque IndexError)."""
+    n_role, n_text = turn_format.count("{role}"), turn_format.count("{text}")
+    if n_role != 1 or n_text != 1 or (
+        turn_format.index("{role}") > turn_format.index("{text}")
+    ):
+        raise ValueError(
+            "turn_format must contain '{role}' then '{text}' exactly once "
+            f"each, got {turn_format!r}"
+        )
+    prefix, rest = turn_format.split("{role}")
+    infix, suffix = rest.split("{text}")
+    parts = [F.lit(prefix), F.col("role"), F.lit(infix), F.col("text")]
+    if suffix:
+        parts.append(F.lit(suffix))
+    return F.concat(*parts)
+
+
 def conversation_stats(turns: DataFrame) -> DataFrame:
     """→ (conv_id, n_turns, n_user, n_assistant, n_tool_calls,
     n_distinct_tools, total_tokens, max_turn_idx): per-conversation
@@ -74,13 +97,9 @@ def sft_pairs(
     ``joiner`` (ordered by turn_idx — the stable turn ordering the north
     rule pins). Response turns with NO preceding context (turn_idx
     first in its conversation) are dropped — there is nothing to
-    condition on."""
-    rendered = F.concat(
-        F.lit(turn_format.split("{role}")[0]),
-        F.col("role"),
-        F.lit(turn_format.split("{role}")[1].split("{text}")[0]),
-        F.col("text"),
-    )
+    condition on. ``turn_format`` must contain ``{role}`` then
+    ``{text}`` exactly once each (validated)."""
+    rendered = _render_turn(turn_format)
     w = (
         Window.partitionBy("conv_id")
         .orderBy(F.asc("turn_idx"))
@@ -224,12 +243,7 @@ def turn_context(
     spec (single shuffle on conv_id, none under a conv-bucketed table);
     the hit set is k·|queries| rows, broadcast into the context frame so
     the join never shuffles the corpus a second time."""
-    rendered = F.concat(
-        F.lit(turn_format.split("{role}")[0]),
-        F.col("role"),
-        F.lit(turn_format.split("{role}")[1].split("{text}")[0]),
-        F.col("text"),
-    )
+    rendered = _render_turn(turn_format)
     w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
     ctx = turns.select(
         id_col,

@@ -50,7 +50,10 @@ def test_hac_k_geq_n_is_identity(spark):
 
 
 def test_hac_max_docs_guard(spark):
-    with pytest.raises(ValueError, match="O\\(n\\^3\\)"):
+    # the guard must also STEER: name the distributed alternatives
+    with pytest.raises(ValueError, match="kmeans_assign"):
+        hierarchical_doc_clusters(_df(spark), k=2, max_docs=2)
+    with pytest.raises(ValueError, match="semantic_dedup"):
         hierarchical_doc_clusters(_df(spark), k=2, max_docs=2)
 
 

@@ -102,3 +102,24 @@ def test_pigeonhole_guard(spark, corpus, batch):
     fps = corpus_simhash_state(corpus)
     with pytest.raises(ValueError, match="pigeonhole|bands"):
         incremental_simhash_dedup(batch, fps, hamming=5, bands=4)
+
+
+def test_simhash_bands_must_divide_64(spark):
+    import pytest
+
+    from news_information_retrieval_system_spark.ops.dedup import (
+        md5_hash64_col,
+    )
+    from news_information_retrieval_system_spark.ops.incr_dedup import (
+        corpus_simhash_state,
+        incremental_simhash_dedup,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    fps = corpus_simhash_state(docs, hash_fn=md5_hash64_col)
+    # 64 % 5 != 0 would silently drop the top 4 fingerprint bits from all
+    # band keys; must raise (a ValueError, not an -O-strippable assert)
+    with pytest.raises(ValueError, match="must divide 64"):
+        incremental_simhash_dedup(
+            docs, fps, hamming=4, bands=5, hash_fn=md5_hash64_col
+        )

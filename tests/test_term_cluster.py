@@ -95,3 +95,22 @@ def test_star_clustering_reference_example(spark):
     # 'color' has the highest potential (self + 2 neighbors)
     assert clusters[0] == ("color", ["color", "colour", "colored"])
     assert clusters[1] == ("paint", ["paint", "painted"])
+
+
+def test_absorb_driver_vocab_guard():
+    import pytest
+
+    from news_information_retrieval_system_spark.ops.term_cluster import (
+        star_absorb,
+    )
+
+    words = ["a", "b", "c"]
+    # guards must steer to the distributed CC clusterings
+    with pytest.raises(ValueError, match="edit_distance_clusters"):
+        greedy_absorb(words, {}, max_terms=2)
+    with pytest.raises(ValueError, match="cooccurrence_clusters"):
+        star_absorb(words, {}, max_terms=2)
+    # under the cap both still run
+    assert greedy_absorb(words, {}, max_terms=3) == [
+        ("a", ["a"]), ("b", ["b"]), ("c", ["c"]),
+    ]

@@ -243,3 +243,19 @@ def test_fingerprints_partitioning_invariant(spark):
         ).collect()
     }
     assert base == shuffled
+
+
+def test_turn_format_validated_and_suffix_kept(spark):
+    # suffix after {text} is preserved (was silently dropped before)
+    out = {
+        r["turn_idx"]: r["prompt"]
+        for r in sft_pairs(
+            _turns(spark), turn_format="<{role}> {text} </t>"
+        ).collect()
+        if r["conv_id"] == "c1"
+    }
+    assert out[1] == "<user> hello there </t>"
+    # malformed formats raise up front, not as an opaque IndexError
+    for bad in ("{role} only", "{text} before {role}", "{role}{text}{text}"):
+        with pytest.raises(ValueError, match="turn_format"):
+            sft_pairs(_turns(spark), turn_format=bad)
