@@ -200,8 +200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
     from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
     from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
+    from news_information_retrieval_system_spark import entry_queries_r11 as EQR11
 
     return _ordered({
+        **EQR11.registry(),
         **EQR6.registry(),
         **EQR7.registry(),
         **EQR8.registry(),
@@ -232,8 +234,11 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_curation as EQCUR
     from news_information_retrieval_system_spark import entry_queries_r9 as EQR9
     from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
+    from news_information_retrieval_system_spark import entry_queries_r11 as EQR11
 
+    EQR11.registry()  # materializes the ALS drift-gate oracle if pinned
     return _ordered({
+        **EQR11.ORACLES,
         **EQR6.ORACLES,
         **EQR7.ORACLES,
         **EQR8.ORACLES,

@@ -1,0 +1,330 @@
+"""Round-5 driver-contract entries: collaborative filtering, search-log
+analytics, and cluster→topic labeling (VERDICT r4 "Next round" #3-#5).
+
+* cf_user_recs / cf_item_recs — user- and item-based kNN collaborative
+  filtering over the events interaction log (ops/recommend_cf.py,
+  reference collaborative_filtering.py:187-458). Ratings quantize to
+  integer centi-units so the sparse cosines are exact integer math in
+  both engines; the oracles re-derive the interaction matrix, both
+  similarity directions, neighbor selection, the consumed-item
+  anti-join, and the similarity-normalized scores from first
+  principles.
+* als_factors — ``pyspark.ml`` ALS item factors (reference ALS MF,
+  collaborative_filtering.py:460-639) as a pinned-VALUES drift gate
+  (same discipline as lda_topics/ltr_train_coefs): the oracle pins the
+  seeded, block-pinned factor output at sf0.01 so any regression in
+  the deterministic training path shows up as a hash break.
+* search_log_stats — top-query / zero-result-rate / result-count
+  rollups (ops/search_log.py, reference search_log_service.py:11-93)
+  stacked under a metric discriminator; the oracle re-derives the
+  deterministic log view and every rollup.
+* cluster_labels — k-means clusters labeled with their centroid's top
+  TF-IDF terms (ops/cluster.py cluster_label_terms, reference
+  cluster_topic_service.py:130-214); the oracle chains the shared Lloyd
+  WITH-prefix with the shared tf/idf CTEs and re-derives the sparse
+  centroid means.
+
+Constants live here so the Spark entries and the SQL oracles cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import _SQL_BASE, _index
+from .entry_queries_r4 import KM_ITERS, KM_K, _e5, lloyd_prefix
+from .ops.search_log import LOG_QUERY_MOD, LOG_RESULT_MOD
+
+# ------------------------------------------------- A10 collaborative CF
+CF_EVENT_TYPES = ("click", "view", "purchase")
+CF_USER_NEIGHBORS = 20
+CF_ITEM_NEIGHBORS = 10
+CF_TOPK = 5
+
+
+def _inter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.recommend_cf import interactions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interactions(events, event_types=CF_EVENT_TYPES)
+
+
+def _recs_out(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("rec_rank").cast("long").alias("rec_rank"),
+        F.col("doc_key").cast("long").alias("doc_id"),
+        _e5("score", "score_5dp"),
+    )
+
+
+def q_cf_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.recommend_cf import user_based_recs
+
+    return _recs_out(
+        user_based_recs(
+            _inter(spark, sf_dir), n_neighbors=CF_USER_NEIGHBORS, k=CF_TOPK
+        )
+    )
+
+
+def q_cf_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.recommend_cf import item_based_recs
+
+    return _recs_out(
+        item_based_recs(
+            _inter(spark, sf_dir), n_neighbors=CF_ITEM_NEIGHBORS, k=CF_TOPK
+        )
+    )
+
+
+ORACLES: dict[str, str] = {}
+
+# the interaction matrix + both cosine directions, shared by both CF
+# oracles; ratings are integer centi-units so every dot/norm is exact
+_CF_SQL_INTER = f"""inter AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_key,
+         CAST(round(sum(value) * 100) AS BIGINT) AS rating
+  FROM events
+  WHERE event_type IN {CF_EVENT_TYPES!r}
+    AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+)"""
+
+
+def _cf_oracle(row_key: str, join_key: str, n_neighbors: int) -> str:
+    """CF oracle: cosine over the (row_key × join_key) matrix, top-n
+    neighbors, similarity-normalized rating aggregation, top-k recs."""
+    if row_key == "user_id":  # user-based: neighbors are users
+        cand = """
+cand AS (
+  SELECT n.ka AS user_id, i.doc_key,
+         round(sum(n.sim * i.rating) / sum(n.sim), 9) AS score
+  FROM nbrs n JOIN inter i ON i.user_id = n.kb
+  WHERE NOT EXISTS (SELECT 1 FROM inter own
+                    WHERE own.user_id = n.ka AND own.doc_key = i.doc_key)
+  GROUP BY 1, 2
+)"""
+    else:  # item-based: the user's own items vote for their neighbors
+        cand = """
+cand AS (
+  SELECT i.user_id, n.kb AS doc_key,
+         round(sum(n.sim * i.rating) / sum(n.sim), 9) AS score
+  FROM inter i JOIN nbrs n ON n.ka = i.doc_key
+  WHERE NOT EXISTS (SELECT 1 FROM inter own
+                    WHERE own.user_id = i.user_id AND own.doc_key = n.kb)
+  GROUP BY 1, 2
+)"""
+    return f"""WITH {_CF_SQL_INTER},
+r AS (SELECT {row_key} AS rk, {join_key} AS jk, rating FROM inter),
+norms AS (SELECT rk, sqrt(CAST(sum(rating * rating) AS DOUBLE)) AS nrm
+          FROM r GROUP BY rk),
+sims AS (
+  SELECT a.rk AS ka, b.rk AS kb,
+         CAST(sum(a.rating * b.rating) AS DOUBLE) / (na.nrm * nb.nrm) AS sim
+  FROM r a JOIN r b ON a.jk = b.jk AND a.rk <> b.rk
+  JOIN norms na ON na.rk = a.rk
+  JOIN norms nb ON nb.rk = b.rk
+  GROUP BY a.rk, b.rk, na.nrm, nb.nrm
+),
+nbrs AS (
+  SELECT ka, kb, sim FROM (
+    SELECT ka, kb, sim,
+           row_number() OVER (PARTITION BY ka
+                              ORDER BY round(sim, 9) DESC, kb ASC) AS rn
+    FROM sims WHERE sim > 0
+  ) WHERE rn <= {n_neighbors}
+),{cand}
+SELECT user_id, CAST(rn AS BIGINT) AS rec_rank, doc_key AS doc_id,
+       CAST(round(score * 100000) AS BIGINT) AS score_5dp
+FROM (
+  SELECT user_id, doc_key, score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, doc_key ASC) AS rn
+  FROM cand
+) WHERE rn <= {CF_TOPK}"""
+
+
+ORACLES["cf_user_recs"] = _cf_oracle("user_id", "doc_key", CF_USER_NEIGHBORS)
+ORACLES["cf_item_recs"] = _cf_oracle("doc_key", "user_id", CF_ITEM_NEIGHBORS)
+
+
+# --------------------------------------------------- A10 ALS drift gate
+ALS_RANK, ALS_ITERS, ALS_REG, ALS_SEED, ALS_BLOCKS = 4, 8, 0.1, 7, 4
+ALS_GATE_ITEMS = 5  # pin the factors of the first few items only
+
+
+def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.recommend_cf import als_item_factors
+
+    out = als_item_factors(
+        _inter(spark, sf_dir),
+        rank=ALS_RANK,
+        max_iter=ALS_ITERS,
+        reg_param=ALS_REG,
+        seed=ALS_SEED,
+        blocks=ALS_BLOCKS,
+    )
+    return out.filter(F.col("doc_key") < ALS_GATE_ITEMS).select(
+        "doc_key",
+        "pos",
+        # integer milli-weight: the pinned oracle compares exact longs
+        F.round(F.col("weight") * 1000).cast("long").alias("weight_e3"),
+    )
+
+
+# Expected seeded/block-pinned ALS item factors at sf0.01 — emitted by
+# scripts/pin_als.py, stable across 3 independent fresh JVMs
+# (drift-gate pattern: lda_topics / ltr_train_coefs).
+_ALS_EXPECTED: list[tuple[int, int, int]] = [
+    (0, 0, 18091),
+    (0, 1, 63498),
+    (0, 2, 20986),
+    (0, 3, -11144),
+    (1, 0, 2010),
+    (1, 1, 12373),
+    (1, 2, 27605),
+    (1, 3, -22938),
+    (2, 0, -10564),
+    (2, 1, 1129),
+    (2, 2, 11178),
+    (2, 3, -25122),
+    (3, 0, -6935),
+    (3, 1, 14436),
+    (3, 2, -6446),
+    (3, 3, -12848),
+    (4, 0, -12571),
+    (4, 1, 2638),
+    (4, 2, -19506),
+    (4, 3, -20939),
+]
+
+
+def _als_oracle() -> str:
+    rows = ", ".join(f"({d}, {p}, {w})" for d, p, w in _ALS_EXPECTED)
+    return (
+        "SELECT CAST(doc_key AS BIGINT) AS doc_key,"
+        " CAST(pos AS BIGINT) AS pos,"
+        " CAST(weight_e3 AS BIGINT) AS weight_e3"
+        f" FROM (VALUES {rows}) AS t(doc_key, pos, weight_e3)"
+    )
+
+
+# ------------------------------------------------ search-log analytics
+def q_search_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.search_log import search_log_digest, search_log_from_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return search_log_digest(search_log_from_events(events))
+
+
+ORACLES["search_log_stats"] = f"""WITH log AS (
+  SELECT 'q' || CAST(k % {LOG_QUERY_MOD} AS VARCHAR) AS query,
+         event_type AS endpoint, value AS latency,
+         CASE WHEN event_type = 'error' THEN 0
+              ELSE CAST(k % {LOG_RESULT_MOD} AS INT) END AS result_count
+  FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               event_type, value
+        FROM events)
+)
+SELECT 'query' AS metric, query AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN result_count <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(round(round(avg(latency), 9) * 100000) AS BIGINT) AS value_5dp
+FROM log GROUP BY query
+UNION ALL
+SELECT 'endpoint_zero_rate', endpoint,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN result_count <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(round((CAST(sum(CASE WHEN result_count <= 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*)) * 100000) AS BIGINT)
+FROM log GROUP BY endpoint
+UNION ALL
+SELECT 'result_count', CAST(CAST(result_count AS BIGINT) AS VARCHAR),
+       CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM log GROUP BY result_count"""
+
+
+# ---------------------------------------------- cluster→topic labeling
+CL_TOP_TERMS = 8
+
+
+def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.cluster import cluster_label_terms, kmeans_assign
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    asn = kmeans_assign(vecs, k=KM_K, n_iters=KM_ITERS)
+    idx = _index(spark, sf_dir)
+    w = (
+        idx.postings.join(idx.term_stats.select("term", "idf"), "term")
+        .withColumn("w", (F.lit(1.0) + F.log10("tf")) * F.col("idf"))
+        .select("doc_id", "term", "w")
+    )
+    out = cluster_label_terms(asn, w, top_terms=CL_TOP_TERMS)
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        "term",
+        _e5("cw", "cw_5dp"),
+    )
+
+
+def _cluster_labels_oracle() -> str:
+    # lloyd_prefix opens the WITH chain; splice in the shared tf/idf
+    # base (strip its leading WITH) and the centroid-label derivation
+    base = _SQL_BASE.strip()
+    assert base.startswith("WITH ")
+    return (
+        lloyd_prefix(KM_K, KM_ITERS)
+        + f""",
+fin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_cosine_similarity(v.e, c.c), 9) DESC,
+                                       c.cluster ASC) AS rk
+    FROM v CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+),
+"""
+        + base[len("WITH ") :]
+        + f""",
+cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs FROM fin GROUP BY cluster),
+cw AS (
+  SELECT f.cluster, t.term,
+         sum((1 + log10(t.tf)) * i.idf) AS sw
+  FROM fin f JOIN tf t ON t.doc_id = f.vec_id
+  JOIN idf i USING (term)
+  GROUP BY 1, 2
+)
+SELECT cluster, n_docs, kw_rank, term, cw_5dp FROM (
+  SELECT cw.cluster, cs.n_docs, cw.term,
+         CAST(row_number() OVER (
+           PARTITION BY cw.cluster
+           ORDER BY round(cw.sw / cs.n_docs, 9) DESC, cw.term ASC
+         ) AS BIGINT) AS kw_rank,
+         CAST(round(round(cw.sw / cs.n_docs, 9) * 100000) AS BIGINT) AS cw_5dp
+  FROM cw JOIN cs USING (cluster)
+) WHERE kw_rank <= {CL_TOP_TERMS}"""
+    )
+
+
+ORACLES["cluster_labels"] = _cluster_labels_oracle()
+
+
+def registry():
+    out = {
+        "cf_user_recs": q_cf_user_recs,
+        "cf_item_recs": q_cf_item_recs,
+        "search_log_stats": q_search_log_stats,
+        "cluster_labels": q_cluster_labels,
+    }
+    if _ALS_EXPECTED:
+        out["als_factors"] = q_als_factors
+        ORACLES["als_factors"] = _als_oracle()
+    return out

@@ -142,6 +142,53 @@ def kmeans_assign(
     return out
 
 
+def cluster_label_terms(
+    assignments: DataFrame,
+    weights: DataFrame,
+    top_terms: int = 8,
+    id_col: str = "vec_id",
+    doc_col: str = "doc_id",
+    weight_col: str = "w",
+    rank_dp: int = 9,
+) -> DataFrame:
+    """→ (cluster, n_docs, kw_rank, term, cw): label each cluster with
+    the top TF-IDF terms of its centroid — the cluster→topic composition
+    (src/ir_app/services/cluster_topic_service.py:130-214: centroid =
+    mean of the members' TF-IDF vectors, keywords = its top terms, the
+    topic label joins the top 3).
+
+    ``assignments`` is (id_col, cluster) — typically ``kmeans_assign``
+    output; ``weights`` is (doc_col, term, weight_col) — typically the
+    ``doc_keywords`` weight frame. The centroid weight of a term is
+    ``Σ member weights / cluster size`` (members missing the term
+    contribute 0, exactly the reference's sparse-mean centroid), rounded
+    to ``rank_dp`` before ranking so independent engines agree on
+    near-ties.
+
+    Scale shape: one join from assignments into the weight frame (both
+    partitioned by doc), one partial-aggregating groupBy on (cluster,
+    term), and a top-``top_terms`` window per cluster (WindowGroupLimit)
+    — k·top_terms result rows, no driver loops."""
+    sizes = assignments.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    member_w = assignments.select(
+        F.col(id_col).alias(doc_col), "cluster"
+    ).join(weights, doc_col)
+    summed = member_w.groupBy("cluster", "term").agg(
+        F.sum(weight_col).alias("sw")
+    )
+    cw = summed.join(F.broadcast(sizes), "cluster").withColumn(
+        "cw", F.round(F.col("sw") / F.col("n_docs"), rank_dp)
+    )
+    win = Window.partitionBy("cluster").orderBy(F.desc("cw"), F.asc("term"))
+    return (
+        cw.withColumn("kw_rank", F.row_number().over(win))
+        .filter(F.col("kw_rank") <= top_terms)
+        .select("cluster", "n_docs", "kw_rank", "term", "cw")
+    )
+
+
 # ------------------------------------------------------ hierarchical (HAC)
 def pairwise_cosine(
     vectors, id_col: str = "vec_id", vec_col: str = "embedding"

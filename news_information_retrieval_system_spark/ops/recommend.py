@@ -5,10 +5,10 @@ Reference: src/ir/recommendation/content_based.py:63-340 — the
 ContentBasedRecommender builds per-document TF-IDF vectors
 (``build_tfidf_vectors``, :131-145) and recommends the top-k most
 cosine-similar documents to a seed document (``compute_similarity``
-:167-233 over the dense doc×doc similarity row). The collaborative /
-hybrid recommenders (:collaborative_filtering.py, hybrid_recommender.py)
-need a user-interaction matrix the engine's tables don't carry and stay
-non-goals.
+:167-233 over the dense doc×doc similarity row). The collaborative
+recommenders live in ``ops/recommend_cf.py`` (user/item kNN + ALS over
+the events interaction log); the reference's hybrid recommender is a
+weighted blend of this module's scores with those.
 
 Spark shape: the doc×doc cosine is a SPARSE dot product over the
 inverted index — join the seed documents' normalized weights with the

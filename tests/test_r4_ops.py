@@ -245,3 +245,52 @@ def test_model_compare_payloads_hand_computed(spark):
           for r in rank_changes(ranked).collect()}
     # doc 10: ranks 1 vs 3 -> span 2; doc 11: ranks 2 vs 1 -> span 1
     assert rc == {("q1", 10): (2, 2), ("q1", 11): (2, 1)}
+
+
+def test_cluster_label_terms_sparse_centroid_mean(spark):
+    from news_information_retrieval_system_spark.ops.cluster import (
+        cluster_label_terms,
+    )
+
+    asn = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, cluster int"
+    )
+    # doc 2 lacks 'beta': its centroid weight must average over BOTH
+    # cluster members (missing term contributes 0), the reference's
+    # sparse-mean centroid (cluster_topic_service.py:130-154)
+    w = spark.createDataFrame(
+        [
+            (1, "alpha", 2.0),
+            (1, "beta", 4.0),
+            (2, "alpha", 6.0),
+            (3, "gamma", 1.0),
+        ],
+        "doc_id long, term string, w double",
+    )
+    rows = {
+        (r["cluster"], r["term"]): (r["n_docs"], r["kw_rank"], r["cw"])
+        for r in cluster_label_terms(asn, w, top_terms=2).collect()
+    }
+    assert rows[(0, "alpha")] == (2, 1, 4.0)  # (2+6)/2
+    assert rows[(0, "beta")] == (2, 2, 2.0)  # 4/2 — divided by SIZE
+    assert rows[(1, "gamma")] == (1, 1, 1.0)
+
+
+def test_cluster_label_top_terms_tiebreak(spark):
+    from news_information_retrieval_system_spark.ops.cluster import (
+        cluster_label_terms,
+    )
+
+    asn = spark.createDataFrame([(1, 0)], "vec_id long, cluster int")
+    w = spark.createDataFrame(
+        [(1, "zed", 3.0), (1, "ant", 3.0), (1, "mid", 9.0)],
+        "doc_id long, term string, w double",
+    )
+    got = [
+        (r["kw_rank"], r["term"])
+        for r in cluster_label_terms(asn, w, top_terms=2)
+        .orderBy("kw_rank")
+        .collect()
+    ]
+    # weight desc, then term asc on the tie; top_terms truncates
+    assert got == [(1, "mid"), (2, "ant")]
