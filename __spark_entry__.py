@@ -202,7 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
     from news_information_retrieval_system_spark import entry_queries_r11 as EQR11
 
-    return _ordered({
+    from news_information_retrieval_system_spark import entry_queries_suites as EQS
+
+    merged = {
         **EQR11.registry(),
         **EQR6.registry(),
         **EQR7.registry(),
@@ -222,7 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EQR5.registry(),
         **EQR9.registry(),
         **EQR10.registry(),
-    })
+    }
+    merged.update(EQS.suite_queries(merged))
+    return _ordered(merged)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -236,8 +240,10 @@ def oracle_sql() -> dict[str, str]:
     from news_information_retrieval_system_spark import entry_queries_r10 as EQR10
     from news_information_retrieval_system_spark import entry_queries_r11 as EQR11
 
+    from news_information_retrieval_system_spark import entry_queries_suites as EQS
+
     EQR11.registry()  # materializes the ALS drift-gate oracle if pinned
-    return _ordered({
+    merged = {
         **EQR11.ORACLES,
         **EQR6.ORACLES,
         **EQR7.ORACLES,
@@ -257,4 +263,6 @@ def oracle_sql() -> dict[str, str]:
         **EQR5.ORACLES,
         **EQR9.ORACLES,
         **EQR10.ORACLES,
-    })
+    }
+    merged.update(EQS.suite_oracles(merged))
+    return _ordered(merged)
