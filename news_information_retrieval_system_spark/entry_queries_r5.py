@@ -53,6 +53,10 @@ from .query.vsm import score_tfidf
 
 # ------------------------------------------------------------- S3 fixtures
 TITLE_MOD, CONTENT_MOD, URL_MOD = 13, 11, 37
+# raw category variants cycling by doc_id: exact alias hit, lowercase
+# fallback hit, unmapped, and the empty/unknown bucket (ops/contract.py
+# CATEGORY_ALIASES semantics)
+RAW_CATEGORIES = ("finance", "TECH", "gadget", "Politics", "bogus", "", "sports")
 SUG_TERMS = ["fastt", "scann", "valu", "windoww", "sparc"]
 SUG_DIST, SUG_PREFIX, SUG_CAP = 2, 4, 5
 
@@ -75,14 +79,23 @@ def _raw_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % CONTENT_MOD == 1, F.substring("text", 1, 10))
         .otherwise(F.col("text"))
     )
+    category = F.element_at(
+        F.array(*[F.lit(c) for c in RAW_CATEGORIES]),
+        (F.col("doc_id") % len(RAW_CATEGORIES)).cast("int") + 1,
+    )
     return d.select(
         F.col("doc_id").alias("row_id"),
         title.alias("title"),
         content.alias("content"),
         F.concat(F.lit("https://ex.org/"), (F.col("doc_id") % URL_MOD)).alias("url"),
         F.concat(F.col("source"), F.lit(",misc, ")).alias("tags"),
+        category.alias("category"),
     )
 
+
+_SQL_CAT = "CASE doc_id % " + str(len(RAW_CATEGORIES)) + " " + " ".join(
+    f"WHEN {i} THEN '{c}'" for i, c in enumerate(RAW_CATEGORIES)
+) + " END"
 
 _SQL_RAW = f"""
 raw AS (
@@ -96,7 +109,8 @@ raw AS (
               WHEN doc_id % {CONTENT_MOD} = 1 THEN substr(text, 1, 10)
               ELSE text END AS content,
          'https://ex.org/' || cast(doc_id % {URL_MOD} AS VARCHAR) AS url,
-         source || ',misc, ' AS tags
+         source || ',misc, ' AS tags,
+         {_SQL_CAT} AS category
   FROM documents
 ),
 iss AS (
@@ -130,13 +144,18 @@ def q_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_normalized_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.contract import normalize_records
 
-    out, _ = normalize_records(_raw_records(spark, sf_dir))
+    out, _ = normalize_records(
+        _raw_records(spark, sf_dir), category_col="category"
+    )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("row_id").cast("long").alias("row_id"),
         "title",
         F.array_join("tags", "|").alias("tags_joined"),
         "dedup_hash",
+        "taxonomy_topic",
+        "taxonomy_label",
+        "taxonomy_path",
     )
 
 
@@ -344,17 +363,46 @@ rej AS (
 SELECT issue, cast(count(*) AS BIGINT) AS n FROM rej GROUP BY issue
 """
 
+def _taxonomy_dims_sql() -> str:
+    """VALUES dims generated from the SAME dicts the Spark op broadcasts
+    (ops/contract.py CATEGORY_ALIASES / TOPIC_LABELS) — no drift."""
+    from .ops.contract import CATEGORY_ALIASES, TOPIC_LABELS
+
+    alias_rows = ", ".join(
+        f"('{k}', '{t}', '{l}')" for k, (t, l) in CATEGORY_ALIASES.items()
+    )
+    label_rows = ", ".join(
+        f"('{t}', '{lbl}')" for t, lbl in TOPIC_LABELS.items()
+    )
+    return (
+        f"aliases(alias, topic, leaf) AS (VALUES {alias_rows}),\n"
+        f"topic_labels(topic, label) AS (VALUES {label_rows})"
+    )
+
+
 ORACLES["normalized_records"] = f"""
 WITH {_SQL_RAW.strip()},
-kept AS (SELECT * FROM dd WHERE rn = 1)
+{_taxonomy_dims_sql()},
+kept AS (SELECT * FROM dd WHERE rn = 1),
+taxo AS (
+  SELECT kept.*,
+         coalesce(a1.topic, a2.topic, 'other') AS t_topic,
+         coalesce(a1.leaf, a2.leaf, 'unknown') AS t_leaf
+  FROM kept
+  LEFT JOIN aliases a1 ON a1.alias = trim(coalesce(kept.category, ''))
+  LEFT JOIN aliases a2 ON a2.alias = lower(trim(coalesce(kept.category, '')))
+)
 SELECT cast(row_number() OVER (ORDER BY row_id) - 1 AS BIGINT) AS doc_id,
        cast(row_id AS BIGINT) AS row_id,
        trim(title) AS title,
        array_to_string(
          list_filter(list_transform(string_split(tags, ','), x -> trim(x)),
                      x -> x <> ''), '|') AS tags_joined,
-       h AS dedup_hash
-FROM kept
+       h AS dedup_hash,
+       t_topic AS taxonomy_topic,
+       coalesce(tl.label, 'Other') AS taxonomy_label,
+       'news' || '/' || t_topic || '/' || t_leaf AS taxonomy_path
+FROM taxo LEFT JOIN topic_labels tl ON tl.topic = taxo.t_topic
 """
 
 # bim/lm scored CTEs (same formulas the bim_topk / lm_topk oracles pin)

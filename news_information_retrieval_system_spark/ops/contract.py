@@ -33,6 +33,108 @@ TITLE_TOO_SHORT = "TITLE_TOO_SHORT"
 CONTENT_TOO_SHORT = "CONTENT_TOO_SHORT"
 DUPLICATE = "DUPLICATE"
 
+# ------------------------------------------------------------- taxonomy
+# Default taxonomy dims mirroring the reference's normalization MECHANISM
+# (src/ir_app/services/taxonomy.py:45-83 CATEGORY_ALIASES lookup: exact
+# key, then lowercased key, else the unknown bucket; :10-22 TOPIC_LABELS;
+# taxonomy_path = '<prefix>/<topic>/<leaf>', :160-183). The reference's
+# values are its own news-corpus vocabulary; callers pass their dims.
+TOPIC_LABELS: dict[str, str] = {
+    "politics": "Politics",
+    "business": "Business",
+    "tech": "Tech",
+    "sports": "Sports",
+    "other": "Other",
+}
+
+CATEGORY_ALIASES: dict[str, tuple[str, str]] = {
+    "politics": ("politics", "politics"),
+    "aipl": ("politics", "politics"),
+    "business": ("business", "business"),
+    "finance": ("business", "finance"),
+    "property": ("business", "property"),
+    "tech": ("tech", "tech"),
+    "gadget": ("tech", "gadget"),
+    "ai": ("tech", "ai"),
+    "sports": ("sports", "sports"),
+    "other": ("other", "other"),
+    "unknown": ("other", "unknown"),
+    "": ("other", "unknown"),
+}
+
+
+def taxonomy_cols(
+    records: DataFrame,
+    category_col: str = "category",
+    aliases: dict[str, tuple[str, str]] | None = None,
+    topic_labels: dict[str, str] | None = None,
+    path_prefix: str = "news",
+) -> DataFrame:
+    """Append ``taxonomy_topic``/``taxonomy_leaf``/``taxonomy_label``/
+    ``taxonomy_path`` by normalizing the raw category through the alias
+    dim table (taxonomy.py:133-183 classify_category: exact alias hit,
+    then lowercased hit, else the unknown bucket).
+
+    Spark shape: the dims are tiny literal tables — two broadcast
+    left joins (exact, lowercased) plus one for the topic label. No
+    shuffle of the record side, so at 100 TB this rides along inside
+    the ingest projection for free."""
+    spark = records.sparkSession
+    aliases = CATEGORY_ALIASES if aliases is None else aliases
+    topic_labels = TOPIC_LABELS if topic_labels is None else topic_labels
+    adim = spark.createDataFrame(
+        [(k, t, l) for k, (t, l) in aliases.items()],
+        "alias string, topic string, leaf string",
+    )
+    tdim = spark.createDataFrame(
+        list(topic_labels.items()), "topic string, label string"
+    )
+    cat = _trim(F.coalesce(F.col(category_col).cast("string"), F.lit("")))
+    r = records.withColumn("_cat", cat).withColumn("_catl", F.lower(cat))
+    exact = adim.select(
+        F.col("alias").alias("_cat"),
+        F.col("topic").alias("_t1"),
+        F.col("leaf").alias("_l1"),
+    )
+    # the lowercased lookup probes the SAME alias keys (the reference
+    # checks key then key.lower() against one dict) — no key fan-out
+    lowered = adim.select(
+        F.col("alias").alias("_catl"),
+        F.col("topic").alias("_t2"),
+        F.col("leaf").alias("_l2"),
+    )
+    r = (
+        r.join(F.broadcast(exact), "_cat", "left")
+        .join(F.broadcast(lowered), "_catl", "left")
+        .withColumn(
+            "taxonomy_topic", F.coalesce("_t1", "_t2", F.lit("other"))
+        )
+        .withColumn(
+            "taxonomy_leaf", F.coalesce("_l1", "_l2", F.lit("unknown"))
+        )
+    )
+    tl = tdim.select(
+        F.col("topic").alias("taxonomy_topic"),
+        F.col("label").alias("_lbl"),
+    )
+    other_label = topic_labels.get("other", "Other")
+    r = (
+        r.join(F.broadcast(tl), "taxonomy_topic", "left")
+        .withColumn(
+            "taxonomy_label", F.coalesce("_lbl", F.lit(other_label))
+        )
+        .withColumn(
+            "taxonomy_path",
+            F.concat_ws(
+                "/",
+                F.lit(path_prefix),
+                F.col("taxonomy_topic"),
+                F.col("taxonomy_leaf"),
+            ),
+        )
+    )
+    return r.drop("_cat", "_catl", "_t1", "_l1", "_t2", "_l2", "_lbl")
+
 
 def _trim(col):
     return F.trim(F.coalesce(col, F.lit("")))
@@ -90,6 +192,7 @@ def normalize_records(
     tags_col: str | None = "tags",
     order_col: str = "row_id",
     fallback_text_col: str | None = None,
+    category_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """_normalize_records (document_service.py:111-155) as two DataFrames:
 
@@ -101,7 +204,9 @@ def normalize_records(
       fields: dense 0-based ``doc_id`` in kept order, ``article_id`` (the
       dedup hash, the reference's fallback when no explicit article_id),
       trimmed ``title``/``content``, ``text`` = content, ``tags`` array,
-      ``dedup_hash``.
+      ``dedup_hash`` — plus the four ``taxonomy_*`` columns when
+      ``category_col`` is given (broadcast dim-table normalization, see
+      ``taxonomy_cols``).
     """
     fallback = F.col(fallback_text_col) if fallback_text_col else None
     base = raw.withColumn(
@@ -137,7 +242,12 @@ def normalize_records(
         ).alias("tags"),
         F.col("_h").alias("dedup_hash"),
         F.col(order_col),
+        *([F.col(category_col)] if category_col else []),
     )
+    if category_col:
+        fields = taxonomy_cols(fields, category_col=category_col).drop(
+            category_col
+        )
     # dense 0..N-1 doc_id in kept order — the reference's enumeration
     # counter (document_service.py:140), assigned via the scalable
     # two-pass offsets pattern rather than a single-partition window
