@@ -182,6 +182,46 @@ _PRIORITY: list[str] = [
     "dup_groups",
     "cosine_topk",
     "eval_metrics",
+    # remaining r01-r03-green stalwarts, listed so the ordering is fully
+    # explicit (scripts/coverage_counts.py flags any registry name
+    # missing from this list); registry merge order preserved
+    "term_df_top50",
+    "bim_topk",
+    "rrf_topk",
+    "bool_docs",
+    "bool_ranked",
+    "near_docs",
+    "wildcard_docs",
+    "fuzzy_terms",
+    "content_hashes",
+    "jaccard_pairs",
+    "simhash_pairs",
+    "text_quality",
+    "eval_run",
+    "compression_stats",
+    "facet_counts",
+    "field_bm25_topk",
+    "date_range_events",
+    "lang_id_counts",
+    "snippet_kwic",
+    "window_docs",
+    "colloc_pmi",
+    "trigram_top",
+    "bm25_explain",
+    "maxscore_topk",
+    "hybrid_linear_topk",
+    "bool_composite",
+    "embed_top_pairs",
+    "embed_lsh_pairs",
+    "doc_fingerprints",
+    "media_features",
+    "frame_offsets",
+    "fieldboost_topk",
+    "snippet_best",
+    "incremental_bm25",
+    "bim_fb_topk",
+    "lm_absdisc_topk",
+    "lm_jm_topk",
 ]
 
 
