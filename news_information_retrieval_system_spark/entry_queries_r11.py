@@ -44,11 +44,24 @@ CF_ITEM_NEIGHBORS = 10
 CF_TOPK = 5
 
 
+# the recommenders consume the interaction matrix from four plan
+# branches (self-join a/b, norms, neighbor expansion, consumed-item
+# anti-join); persist the distilled frame ONCE so the raw event log is
+# scanned once, not 12× — the same move a cluster job makes at 100 TB,
+# where the matrix is orders of magnitude smaller than the log
+_INTER_CACHE: dict = {}
+
+
 def _inter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.recommend_cf import interactions
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return interactions(events, event_types=CF_EVENT_TYPES)
+    key = (id(spark), sf_dir)
+    if key not in _INTER_CACHE:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _INTER_CACHE[key] = interactions(
+            events, event_types=CF_EVENT_TYPES
+        ).persist()
+    return _INTER_CACHE[key]
 
 
 def _recs_out(out: DataFrame) -> DataFrame:

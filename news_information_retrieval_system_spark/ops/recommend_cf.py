@@ -28,6 +28,12 @@ Spark shape, and why it survives 100 TB:
   (norms keep every item), exactly like ``related_docs``'s
   ``df_ceiling``. item×item cosine is the transpose (join on user_id,
   ``hot_user_cap``). Default None reproduces the reference exactly.
+* The recommenders consume the interaction frame from FOUR plan
+  branches (both self-join sides, the norms, the neighbor expansion,
+  and the consumed-item anti-join). Persist it before fanning out —
+  ``inter = interactions(events).persist()`` — or the raw event log is
+  scanned once per branch; the distilled matrix is orders of magnitude
+  smaller than a 100 TB log, which is exactly what caching is for.
 * Neighbor selection is a rank-over-window top-n per row key
   (WindowGroupLimit pushes the limit below the sort); recommendation
   scoring is one join from the n·|users| neighbor edges back to the

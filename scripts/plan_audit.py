@@ -806,6 +806,182 @@ def main() -> int:
         "combine keeps the exchange tiny",
     )
 
+    # ------------------------------------------- round-5: collaborative CF
+    from news_information_retrieval_system_spark.ops.recommend_cf import (
+        interactions,
+        user_based_recs,
+        user_similarities,
+    )
+
+    events_full = spark.read.parquet(events_path)
+    inter = interactions(events_full)
+    p = explain_str(inter)
+    dumps.append(("cf interactions (event log → rating matrix)", p))
+    check(
+        "cf_interactions",
+        "partial aggregation before the (user, doc) exchange",
+        "partial_sum" in p,
+        "the rating distillation combines map-side — the exchange carries "
+        "one row per (user, doc) per map partition, not one per raw event",
+    )
+    check(
+        "cf_interactions",
+        "scan pruned to the interaction columns",
+        "event_id" not in p.split("ReadSchema")[-1].split("\n")[0]
+        if "ReadSchema" in p
+        else False,
+        "props/user_id/event_type/value only — the event payload never "
+        "leaves the scan for non-interaction analysis",
+    )
+    p = explain_str(user_similarities(inter))
+    dumps.append(("cf user_similarities (sparse co-interaction cosine)", p))
+    check(
+        "cf_user_similarities",
+        "no cartesian product",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "the user×user cosine is an equi-join on doc_key (co-interacting "
+        "pairs only), never an all-pairs enumeration",
+    )
+    check(
+        "cf_user_similarities",
+        "pair dot products combine map-side",
+        "partial_sum" in p,
+        "",
+    )
+    check(
+        "cf_user_similarities",
+        "cosine all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "integer dot/norm + one IEEE divide, all codegen",
+    )
+    p = explain_str(user_based_recs(inter, n_neighbors=5, k=3))
+    dumps.append(("cf user_based_recs (neighbor vote + top-k)", p))
+    check(
+        "cf_user_based_recs",
+        "neighbor/rec top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "both row_number windows (top-n neighbors, top-k recs) keep "
+        "per-partition heaps before the final sort",
+    )
+    check(
+        "cf_user_based_recs",
+        "consumed items excluded by a hash anti-join",
+        "LeftAnti" in p,
+        "never a collected per-user item set",
+    )
+
+    p = explain_str(
+        user_similarities(inter, hot_item_cap=1000)
+    )
+    check(
+        "cf_user_similarities",
+        "hot-item cap keep-list is broadcast",
+        "BroadcastExchange" in p,
+        "the sub-cap item list is tiny by construction; the guard must "
+        "not add a corpus shuffle",
+    )
+
+    # the driver entries persist the distilled matrix (entry_queries_r11
+    # _INTER_CACHE); with it cached the four consuming branches must read
+    # the in-memory frame, not re-scan the raw event log per branch
+    inter_cached = inter.persist()
+    inter_cached.count()
+    p = explain_str(user_based_recs(inter_cached, n_neighbors=5, k=3))
+    dumps.append(("cf user_based_recs (interactions persisted)", p))
+    import re as _re
+
+    # formatted explain reprints the cached relation's DEFINITION (incl.
+    # its parquet scan) under every InMemoryTableScan — execution reads
+    # the cache; assert all scans are that one node, not fresh scans
+    distinct_scans = set(_re.findall(r"Scan parquet\s*\((\d+)\)", p))
+    check(
+        "cf_user_based_recs",
+        "persisted matrix: branches hit the cache, log scanned ≤1×",
+        "InMemoryTableScan" in p and len(distinct_scans) <= 1,
+        "the 12 per-branch log scans collapse onto one cached frame — "
+        "the 100 TB-critical move (the matrix is tiny next to the log)",
+    )
+    inter_cached.unpersist()
+
+    # ------------------------------------------- round-5: search-log rollups
+    from news_information_retrieval_system_spark.ops.search_log import (
+        search_log_digest,
+        search_log_from_events,
+    )
+
+    p = explain_str(search_log_digest(search_log_from_events(events_full)))
+    dumps.append(("search_log_digest (three rollups stacked)", p))
+    check(
+        "search_log_digest",
+        "rollups combine map-side",
+        "partial_count" in p,
+        "each branch exchanges one row per key per map partition",
+    )
+    check(
+        "search_log_digest",
+        "all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+
+    # --------------------------------------- round-5: cluster→topic labels
+    from news_information_retrieval_system_spark.ops.cluster import (
+        cluster_label_terms,
+    )
+
+    asn = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", (F.col("vec_id") % 8).cast("int").alias("cluster")
+    )
+    weights = idx.postings.join(
+        idx.term_stats.select("term", "idf"), "term"
+    ).select(
+        "doc_id", "term", ((F.lit(1.0) + F.log10("tf")) * F.col("idf")).alias("w")
+    )
+    p = explain_str(cluster_label_terms(asn, weights, top_terms=8))
+    dumps.append(("cluster_label_terms (centroid TF-IDF labels)", p))
+    check(
+        "cluster_label_terms",
+        "cluster sizes broadcast into the weight aggregation",
+        "BroadcastExchange" in p,
+        "k rows — must never shuffle the (cluster, term) frame to join them",
+    )
+    check(
+        "cluster_label_terms",
+        "centroid sums combine map-side",
+        "partial_sum" in p,
+        "",
+    )
+    check(
+        "cluster_label_terms",
+        "per-cluster top-terms rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "",
+    )
+
+    # ------------------------------------------- round-5: taxonomy dims
+    from news_information_retrieval_system_spark.ops.contract import (
+        taxonomy_cols,
+    )
+
+    recs = spark.read.parquet(docs_path).select(
+        "doc_id", F.col("source").alias("category")
+    )
+    p = explain_str(taxonomy_cols(recs))
+    dumps.append(("taxonomy_cols (dim-table normalization)", p))
+    check(
+        "taxonomy_cols",
+        "all dim lookups broadcast (no record-side shuffle)",
+        p.count("BroadcastExchange") >= 3 and "Exchange hashpartitioning" not in p,
+        "alias exact + alias lowercased + topic label are literal dims; "
+        "the record side must pass through shuffle-free",
+    )
+    check(
+        "taxonomy_cols",
+        "all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+        "",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
