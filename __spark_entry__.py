@@ -95,7 +95,6 @@ _PRIORITY: list[str] = [
     "ltr_train_coefs",
     "term_clusters_editdist",
     "packed_sequences",
-    "packing_stats",
     "json_array_docs",
     "dataset_splits",
     "contamination_overlap",
@@ -103,6 +102,7 @@ _PRIORITY: list[str] = [
     # suite digest proving the window-compression mechanism end-to-end.
     "cf_user_recs",
     "cf_item_recs",
+    "hybrid_recs",
     "search_log_stats",
     "cluster_labels",
     "suite_digest_lexical",
@@ -113,6 +113,11 @@ _PRIORITY: list[str] = [
     "als_factors",          # pyspark.ml ALS drift-gate (pinned VALUES, like
                             # ltr_train_coefs); CF family gated in-window by
                             # cf_user_recs/cf_item_recs first-principles SQL
+    "packing_stats",        # parked to make room for hybrid_recs: its
+                            # placement arithmetic is re-derived by the
+                            # r4-green packed_examples oracle and the
+                            # in-window packed_sequences shares the
+                            # two-pass-cumsum machinery
     "suite_digest_dedup",   # local-replica green; mechanism proven by the
     "suite_digest_conv",    # in-window suite_digest_lexical (same builder)
     "suite_digest_quality",

@@ -108,9 +108,11 @@ _CF_SQL_INTER = f"""inter AS (
 )"""
 
 
-def _cf_oracle(row_key: str, join_key: str, n_neighbors: int) -> str:
-    """CF oracle: cosine over the (row_key × join_key) matrix, top-n
-    neighbors, similarity-normalized rating aggregation, top-k recs."""
+def _cf_cte(row_key: str, join_key: str, n_neighbors: int) -> str:
+    """CTE chain (no WITH, assumes ``inter``): cosine over the
+    (row_key × join_key) matrix, top-n neighbors, similarity-normalized
+    rating aggregation → ``cand (user_id, doc_key, score)``. Shared by
+    the standalone CF oracles and the hybrid blend oracle."""
     if row_key == "user_id":  # user-based: neighbors are users
         cand = """
 cand AS (
@@ -131,8 +133,7 @@ cand AS (
                     WHERE own.user_id = i.user_id AND own.doc_key = n.kb)
   GROUP BY 1, 2
 )"""
-    return f"""WITH {_CF_SQL_INTER},
-r AS (SELECT {row_key} AS rk, {join_key} AS jk, rating FROM inter),
+    return f"""r AS (SELECT {row_key} AS rk, {join_key} AS jk, rating FROM inter),
 norms AS (SELECT rk, sqrt(CAST(sum(rating * rating) AS DOUBLE)) AS nrm
           FROM r GROUP BY rk),
 sims AS (
@@ -150,7 +151,12 @@ nbrs AS (
                               ORDER BY round(sim, 9) DESC, kb ASC) AS rn
     FROM sims WHERE sim > 0
   ) WHERE rn <= {n_neighbors}
-),{cand}
+),{cand}"""
+
+
+def _cf_oracle(row_key: str, join_key: str, n_neighbors: int) -> str:
+    return f"""WITH {_CF_SQL_INTER},
+{_cf_cte(row_key, join_key, n_neighbors)}
 SELECT user_id, CAST(rn AS BIGINT) AS rec_rank, doc_key AS doc_id,
        CAST(round(score * 100000) AS BIGINT) AS score_5dp
 FROM (
@@ -163,6 +169,117 @@ FROM (
 
 ORACLES["cf_user_recs"] = _cf_oracle("user_id", "doc_key", CF_USER_NEIGHBORS)
 ORACLES["cf_item_recs"] = _cf_oracle("doc_key", "user_id", CF_ITEM_NEIGHBORS)
+
+
+# ------------------------------------------------ A10 hybrid recommender
+HY_TOPK = 5
+HY_WC, HY_WCF, HY_WPOP = 0.4, 0.4, 0.2
+
+
+def q_hybrid_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted hybrid fusion (hybrid_recommender.py:166-293): item-CF
+    top-3k pool + reading-history content cosines + popularity, per-user
+    per-source max normalization, 0.4/0.4/0.2 blend."""
+    from .ops.recommend_cf import item_based_recs
+    from .ops.recommend_hybrid import (
+        content_scores,
+        hybrid_weighted,
+        item_popularity,
+    )
+    from .query.vsm import build_tfidf_weights
+
+    inter = _inter(spark, sf_dir)
+    cf = item_based_recs(
+        inter, n_neighbors=CF_ITEM_NEIGHBORS, k=3 * HY_TOPK
+    ).select("user_id", "doc_key", "score")
+    content = content_scores(inter, build_tfidf_weights(_index(spark, sf_dir)))
+    out = hybrid_weighted(
+        cf,
+        content,
+        item_popularity(inter),
+        w_content=HY_WC,
+        w_cf=HY_WCF,
+        w_pop=HY_WPOP,
+        k=HY_TOPK,
+    )
+    return _recs_out(out)
+
+
+def _hybrid_oracle() -> str:
+    return f"""{_SQL_BASE},
+{_CF_SQL_INTER},
+{_cf_cte("doc_key", "user_id", CF_ITEM_NEIGHBORS)},
+cfrecs AS (
+  SELECT user_id, doc_key, score FROM (
+    SELECT user_id, doc_key, score,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, doc_key ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {3 * HY_TOPK}
+),
+w AS (
+  SELECT tf.doc_id, tf.term, (1 + log10(tf.tf)) * idf.idf AS w
+  FROM tf JOIN idf USING (term)
+),
+wnorms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, w.term, w.w / wnorms.nrm AS wn
+       FROM w JOIN wnorms USING (doc_id)),
+cpairs AS (
+  SELECT s.doc_id AS seed_id, o.doc_id AS cand_id,
+         round(sum(s.wn * o.wn), 9) AS cosine
+  FROM wn s JOIN wn o ON o.term = s.term AND o.doc_id <> s.doc_id
+  WHERE s.doc_id IN (SELECT DISTINCT doc_key FROM inter)
+  GROUP BY 1, 2
+),
+content AS (
+  SELECT i.user_id, p.cand_id AS doc_key, round(avg(p.cosine), 9) AS cs
+  FROM inter i JOIN cpairs p ON p.seed_id = i.doc_key
+  WHERE NOT EXISTS (SELECT 1 FROM inter own
+                    WHERE own.user_id = i.user_id
+                      AND own.doc_key = p.cand_id)
+  GROUP BY 1, 2
+),
+pop AS (
+  SELECT doc_key,
+         CAST(count(DISTINCT user_id) AS DOUBLE) /
+           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM inter)
+           AS popularity
+  FROM inter GROUP BY doc_key
+),
+merged AS (
+  SELECT coalesce(c.user_id, f.user_id) AS user_id,
+         coalesce(c.doc_key, f.doc_key) AS doc_key,
+         coalesce(c.cs, CAST(0 AS DOUBLE)) AS cs,
+         coalesce(f.score, CAST(0 AS DOUBLE)) AS fs
+  FROM content c FULL OUTER JOIN cfrecs f
+    ON f.user_id = c.user_id AND f.doc_key = c.doc_key
+),
+mx AS (SELECT user_id, max(cs) AS mc, max(fs) AS mf
+       FROM merged GROUP BY user_id),
+blended AS (
+  SELECT m.user_id, m.doc_key,
+         round(CAST({HY_WC} AS DOUBLE)
+                 * (CASE WHEN x.mc > 0 THEN m.cs / x.mc
+                         ELSE CAST(0 AS DOUBLE) END)
+             + CAST({HY_WCF} AS DOUBLE)
+                 * (CASE WHEN x.mf > 0 THEN m.fs / x.mf
+                         ELSE CAST(0 AS DOUBLE) END)
+             + CAST({HY_WPOP} AS DOUBLE)
+                 * coalesce(p.popularity, CAST(0 AS DOUBLE)), 9) AS score
+  FROM merged m JOIN mx x USING (user_id)
+  LEFT JOIN pop p USING (doc_key)
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rec_rank, doc_key AS doc_id,
+       CAST(round(score * 100000) AS BIGINT) AS score_5dp
+FROM (
+  SELECT user_id, doc_key, score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, doc_key ASC) AS rn
+  FROM blended
+) WHERE rn <= {HY_TOPK}"""
+
+
+ORACLES["hybrid_recs"] = _hybrid_oracle()
 
 
 # --------------------------------------------------- A10 ALS drift gate
@@ -334,6 +451,7 @@ def registry():
     out = {
         "cf_user_recs": q_cf_user_recs,
         "cf_item_recs": q_cf_item_recs,
+        "hybrid_recs": q_hybrid_recs,
         "search_log_stats": q_search_log_stats,
         "cluster_labels": q_cluster_labels,
     }

@@ -901,6 +901,45 @@ def main() -> int:
         "the 12 per-branch log scans collapse onto one cached frame — "
         "the 100 TB-critical move (the matrix is tiny next to the log)",
     )
+
+    # --------------------------------------- round-5: hybrid recommender
+    from news_information_retrieval_system_spark.ops.recommend_hybrid import (
+        content_scores,
+        hybrid_weighted,
+        item_popularity,
+    )
+    from news_information_retrieval_system_spark.query.vsm import (
+        build_tfidf_weights,
+    )
+
+    cfr = user_based_recs(inter_cached, n_neighbors=5, k=15).select(
+        "user_id", "doc_key", "score"
+    )
+    cont = content_scores(inter_cached, build_tfidf_weights(idx))
+    p = explain_str(
+        hybrid_weighted(cfr, cont, item_popularity(inter_cached), k=5)
+    )
+    dumps.append(("hybrid_weighted (content + CF + popularity blend)", p))
+    check(
+        "hybrid_weighted",
+        "popularity dim broadcast into the blend",
+        "BroadcastHashJoin" in p,
+        "per-item popularity is catalog-sized; the candidate frame must "
+        "not shuffle to meet it",
+    )
+    check(
+        "hybrid_weighted",
+        "final top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "",
+    )
+    check(
+        "hybrid_weighted",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "the content pair scan is a term equi-join; the blend is a "
+        "(user, doc) full-outer equi-join",
+    )
     inter_cached.unpersist()
 
     # ------------------------------------------- round-5: search-log rollups

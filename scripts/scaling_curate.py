@@ -38,14 +38,51 @@ _DRIVER = textwrap.dedent(
     cores = int(os.environ["SPARK_GRAFT_CPUS"])
     n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", "200000"))
     n_runs = int(os.environ.get("SPARK_GRAFT_INJVM_RUNS", "3"))
+    drop_mode = os.environ.get("SPARK_GRAFT_DROP_MODE", "low")
     spark = get_spark("curate-scaling", cores=cores)
     path = ensure_corpus(spark, n_turns)
     docs = spark.read.parquet(path).select("doc_id", "text")
 
+    def plant_drops(frame, n):
+        # realistic-drop fixture (~35% dropped): a third of the docs
+        # become planted EXACT duplicates (2-member groups keyed by
+        # (doc_id//3) % g so the keep-first window drops half), a third
+        # become planted NEAR duplicates (group-specific 32-token
+        # template + a ~4-token original tail -> within-group Jaccard
+        # ~30 shared / ~42 union = 0.72 > threshold; shingles carry the
+        # group marker so groups never collide into one giant bucket)
+        from pyspark.sql import functions as F
+        g = max(1, n // 6)
+        grp = ((F.col("doc_id") / 3).cast("long") % g).cast("string")
+        shared = F.concat(
+            F.lit("shared corpus passage block "), grp,
+            F.lit(" repeated content planted duplicate group"))
+        marker = F.concat(F.lit("g"), grp)
+        tmpl_toks = []
+        for i, w in enumerate(
+                "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi".split()):
+            tmpl_toks += [marker, F.lit(w)]
+        near = F.concat_ws(
+            " ", *tmpl_toks,
+            F.col("doc_id").cast("string"),
+            F.substring("text", 1, 16))
+        return frame.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 1, shared)
+            .when(F.col("doc_id") % 3 == 2, near)
+            .otherwise(F.col("text")))
+
+    if drop_mode == "high":
+        docs = plant_drops(docs, n_turns)
+
     # untimed warmup at 1/10 scale (codegen compile, page cache)
-    curate_corpus(
-        spark.read.parquet(ensure_corpus(spark, max(10_000, n_turns // 10)))
-        .select("doc_id", "text"), None, redact_pii=True)
+    warm_n = max(10_000, n_turns // 10)
+    warm = spark.read.parquet(ensure_corpus(spark, warm_n)).select(
+        "doc_id", "text")
+    if drop_mode == "high":
+        warm = plant_drops(warm, warm_n)
+    curate_corpus(warm, None, redact_pii=True)
 
     times, n_out = [], 0
     for _ in range(n_runs):
@@ -82,6 +119,7 @@ def main() -> None:
     n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", "200000"))
     print(json.dumps({
         "op": "curate_corpus",
+        "drop_mode": os.environ.get("SPARK_GRAFT_DROP_MODE", "low"),
         "turns": n_turns,
         "low_cores": low, "high_cores": high,
         "n_out": lows[0]["n_out"],
