@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "suite_digest_dedup",   # local-replica green; mechanism proven by the
     "suite_digest_conv",    # in-window suite_digest_lexical (same builder)
     "suite_digest_quality",
+    "suite_digest_recsys",  # round-5 family digest for next-cycle rotation
     # r4-green entries, newest first
     "hybrid_zscore_topk",
     "bool_field_phrase",

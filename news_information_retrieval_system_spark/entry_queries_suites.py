@@ -80,6 +80,14 @@ SUITES: dict[str, dict[str, list[str]]] = {
             "conv_id", "duration_s", "max_gap_s", "min_gap_s", "n_turns",
         ],
     },
+    "suite_digest_recsys": {
+        "cf_user_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
+        "cf_item_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
+        "hybrid_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
+        "search_log_stats": ["key", "metric", "n", "n_zero", "value_5dp"],
+        "cluster_labels": ["cluster", "cw_5dp", "kw_rank", "n_docs", "term"],
+        "related_docs": ["cosine_5dp", "doc_id", "rec_rank", "seed_id"],
+    },
     "suite_digest_quality": {
         "text_quality": [
             "avg_token_len_5dp", "doc_id", "n_tokens", "quality_5dp",
