@@ -122,6 +122,9 @@ _PRIORITY: list[str] = [
     "suite_digest_conv",    # in-window suite_digest_lexical (same builder)
     "suite_digest_quality",
     "suite_digest_recsys",  # round-5 family digest for next-cycle rotation
+    "cascade_recs",         # hybrid family siblings of in-window
+    "switching_recs",       # hybrid_recs (shared CTE machinery; local
+                            # green + members of the recsys digest)
     # r4-green entries, newest first
     "hybrid_zscore_topk",
     "bool_field_phrase",

@@ -205,19 +205,9 @@ def q_hybrid_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recs_out(out)
 
 
-def _hybrid_oracle() -> str:
-    return f"""{_SQL_BASE},
-{_CF_SQL_INTER},
-{_cf_cte("doc_key", "user_id", CF_ITEM_NEIGHBORS)},
-cfrecs AS (
-  SELECT user_id, doc_key, score FROM (
-    SELECT user_id, doc_key, score,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY score DESC, doc_key ASC) AS rn
-    FROM cand
-  ) WHERE rn <= {3 * HY_TOPK}
-),
-w AS (
+# shared CTE blocks for the hybrid family (assume _SQL_BASE tf/idf and
+# the `inter` CTE are already in scope)
+_CONTENT_CTES = """w AS (
   SELECT tf.doc_id, tf.term, (1 + log10(tf.tf)) * idf.idf AS w
   FROM tf JOIN idf USING (term)
 ),
@@ -245,7 +235,22 @@ pop AS (
            (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM inter)
            AS popularity
   FROM inter GROUP BY doc_key
+)"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""{_SQL_BASE},
+{_CF_SQL_INTER},
+{_cf_cte("doc_key", "user_id", CF_ITEM_NEIGHBORS)},
+cfrecs AS (
+  SELECT user_id, doc_key, score FROM (
+    SELECT user_id, doc_key, score,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, doc_key ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {3 * HY_TOPK}
 ),
+{_CONTENT_CTES},
 merged AS (
   SELECT coalesce(c.user_id, f.user_id) AS user_id,
          coalesce(c.doc_key, f.doc_key) AS doc_key,
@@ -280,6 +285,149 @@ FROM (
 
 
 ORACLES["hybrid_recs"] = _hybrid_oracle()
+
+
+# --------------------------------- A10 cascade / switching hybrid modes
+CAS_POOL = 25  # content recall pool = 5 × top-k (reference top_k * 5)
+SW_MIN_INTER = 34  # switches roughly half the sf0.01 users to pure CF
+
+
+def q_cascade_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade fusion (hybrid_recommender.py:294-390): content recall
+    pool re-ranked by the mean item-similarity to the user's items."""
+    from .ops.recommend_cf import item_similarities
+    from .ops.recommend_hybrid import (
+        cascade_recs,
+        cf_mean_item_sims,
+        content_scores,
+        item_popularity,
+    )
+    from .query.vsm import build_tfidf_weights
+
+    inter = _inter(spark, sf_dir)
+    content = content_scores(inter, build_tfidf_weights(_index(spark, sf_dir)))
+    cf_mean = cf_mean_item_sims(inter, item_similarities(inter))
+    out = cascade_recs(
+        content, cf_mean, item_popularity(inter), pool=CAS_POOL, k=HY_TOPK
+    )
+    return _recs_out(out)
+
+
+def q_switching_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Switching fusion (hybrid_recommender.py:391-528): experienced
+    users get pure item-CF, light users get content re-weighted by
+    popularity — one tagged pass, no per-user dispatch."""
+    from .ops.recommend_cf import item_based_recs
+    from .ops.recommend_hybrid import (
+        content_scores,
+        item_popularity,
+        switching_recs,
+    )
+    from .query.vsm import build_tfidf_weights
+
+    inter = _inter(spark, sf_dir)
+    cf = item_based_recs(
+        inter, n_neighbors=CF_ITEM_NEIGHBORS, k=HY_TOPK
+    ).select("user_id", "doc_key", "score")
+    content = content_scores(inter, build_tfidf_weights(_index(spark, sf_dir)))
+    out = switching_recs(
+        inter,
+        cf,
+        content,
+        item_popularity(inter),
+        min_cf_interactions=SW_MIN_INTER,
+        k=HY_TOPK,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("rec_rank").cast("long").alias("rec_rank"),
+        F.col("doc_key").cast("long").alias("doc_id"),
+        _e5("score", "score_5dp"),
+        "method",
+    )
+
+
+ORACLES["cascade_recs"] = f"""{_SQL_BASE},
+{_CF_SQL_INTER},
+{_cf_cte("doc_key", "user_id", CF_ITEM_NEIGHBORS)},
+{_CONTENT_CTES},
+ucount AS (SELECT user_id, count(*) AS n_items FROM inter GROUP BY 1),
+msim AS (
+  SELECT i.user_id, s.ka AS doc_key, sum(s.sim) AS ssum
+  FROM inter i JOIN sims s ON s.kb = i.doc_key
+  GROUP BY 1, 2
+),
+cfm AS (
+  SELECT m.user_id, m.doc_key, round(m.ssum / u.n_items, 9) AS cf
+  FROM msim m JOIN ucount u USING (user_id)
+),
+cpool AS (
+  SELECT user_id, doc_key, cs FROM (
+    SELECT user_id, doc_key, cs,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cs DESC, doc_key ASC) AS pr
+    FROM content
+  ) WHERE pr <= {CAS_POOL}
+),
+blended AS (
+  SELECT c.user_id, c.doc_key,
+         round(CASE WHEN coalesce(f.cf, CAST(0 AS DOUBLE)) > 0
+                    THEN CAST(0.7 AS DOUBLE) * f.cf
+                       + CAST(0.2 AS DOUBLE) * c.cs
+                       + CAST(0.1 AS DOUBLE)
+                           * coalesce(p.popularity, CAST(0 AS DOUBLE))
+                    ELSE CAST(0.8 AS DOUBLE) * c.cs
+                       + CAST(0.2 AS DOUBLE)
+                           * coalesce(p.popularity, CAST(0 AS DOUBLE))
+               END, 9) AS score
+  FROM cpool c
+  LEFT JOIN cfm f ON f.user_id = c.user_id AND f.doc_key = c.doc_key
+  LEFT JOIN pop p ON p.doc_key = c.doc_key
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rec_rank, doc_key AS doc_id,
+       CAST(round(score * 100000) AS BIGINT) AS score_5dp
+FROM (
+  SELECT user_id, doc_key, score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, doc_key ASC) AS rn
+  FROM blended
+) WHERE rn <= {HY_TOPK}"""
+
+ORACLES["switching_recs"] = f"""{_SQL_BASE},
+{_CF_SQL_INTER},
+{_cf_cte("doc_key", "user_id", CF_ITEM_NEIGHBORS)},
+cfrecs AS (
+  SELECT user_id, doc_key, score FROM (
+    SELECT user_id, doc_key, score,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, doc_key ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {HY_TOPK}
+),
+{_CONTENT_CTES},
+ucount AS (SELECT user_id, count(*) AS n_inter FROM inter GROUP BY 1),
+cfu AS (SELECT user_id FROM ucount WHERE n_inter >= {SW_MIN_INTER}),
+branches AS (
+  SELECT f.user_id, f.doc_key, round(f.score, 9) AS score,
+         'cf' AS method
+  FROM cfrecs f WHERE f.user_id IN (SELECT user_id FROM cfu)
+  UNION ALL
+  SELECT c.user_id, c.doc_key,
+         round(CAST(0.7 AS DOUBLE) * c.cs
+             + CAST(0.3 AS DOUBLE)
+                 * coalesce(p.popularity, CAST(0 AS DOUBLE)), 9),
+         'content_pop'
+  FROM content c LEFT JOIN pop p ON p.doc_key = c.doc_key
+  WHERE c.user_id NOT IN (SELECT user_id FROM cfu)
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rec_rank, doc_key AS doc_id,
+       CAST(round(score * 100000) AS BIGINT) AS score_5dp, method
+FROM (
+  SELECT user_id, doc_key, score, method,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, doc_key ASC) AS rn
+  FROM branches
+) WHERE rn <= {HY_TOPK}"""
 
 
 # --------------------------------------------------- A10 ALS drift gate
@@ -452,6 +600,8 @@ def registry():
         "cf_user_recs": q_cf_user_recs,
         "cf_item_recs": q_cf_item_recs,
         "hybrid_recs": q_hybrid_recs,
+        "cascade_recs": q_cascade_recs,
+        "switching_recs": q_switching_recs,
         "search_log_stats": q_search_log_stats,
         "cluster_labels": q_cluster_labels,
     }

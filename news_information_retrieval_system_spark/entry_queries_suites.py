@@ -84,6 +84,10 @@ SUITES: dict[str, dict[str, list[str]]] = {
         "cf_user_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
         "cf_item_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
         "hybrid_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
+        "cascade_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
+        "switching_recs": [
+            "doc_id", "method", "rec_rank", "score_5dp", "user_id",
+        ],
         "search_log_stats": ["key", "metric", "n", "n_zero", "value_5dp"],
         "cluster_labels": ["cluster", "cw_5dp", "kw_rank", "n_docs", "term"],
         "related_docs": ["cosine_5dp", "doc_id", "rec_rank", "seed_id"],

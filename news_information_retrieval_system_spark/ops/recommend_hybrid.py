@@ -76,6 +76,125 @@ def content_scores(inter: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
+def cf_mean_item_sims(inter: DataFrame, item_sims: DataFrame) -> DataFrame:
+    """→ (user_id, doc_key, cf_score): the cascade's stage-2 CF signal
+    (hybrid_recommender.py:334-351) — for each candidate item, the MEAN
+    item-similarity to the user's consumed items. The reference means
+    over the dense row (absent pairs contribute 0), so the denominator
+    is the user's FULL item count, not the co-similar subset."""
+    n_items = inter.groupBy("user_id").agg(F.count("*").alias("n_items"))
+    summed = (
+        inter.select("user_id", F.col("doc_key").alias("doc_key_b"))
+        .join(item_sims, "doc_key_b")
+        .groupBy("user_id", F.col("doc_key_a").alias("doc_key"))
+        .agg(F.sum("sim").alias("ssum"))
+    )
+    return summed.join(n_items, "user_id").select(
+        "user_id",
+        "doc_key",
+        F.round(F.col("ssum") / F.col("n_items"), 9).alias("cf_score"),
+    )
+
+
+def cascade_recs(
+    content: DataFrame,
+    cf_mean: DataFrame,
+    popularity: DataFrame,
+    pool: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """→ (user_id, rec_rank, doc_key, score): cascade fusion
+    (hybrid_recommender.py:294-390) — content-based generates the
+    recall pool (top-``pool`` per user), the CF mean-similarity
+    re-ranks it, popularity breaks in as a small additive term:
+    ``0.7·cf + 0.2·content + 0.1·pop`` when the candidate has CF
+    evidence, else ``0.8·content + 0.2·pop`` (the reference's raw-score
+    cascade weights)."""
+    wp = Window.partitionBy("user_id").orderBy(
+        F.desc("content_score"), F.asc("doc_key")
+    )
+    cand = (
+        content.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= pool)
+        .drop("prank")
+    )
+    j = (
+        cand.join(cf_mean, ["user_id", "doc_key"], "left")
+        .join(F.broadcast(popularity), "doc_key", "left")
+        .withColumn("cf", F.coalesce("cf_score", F.lit(0.0)))
+        .withColumn("pop", F.coalesce("popularity", F.lit(0.0)))
+    )
+    score = F.when(
+        F.col("cf") > 0,
+        F.lit(0.7) * F.col("cf")
+        + F.lit(0.2) * F.col("content_score")
+        + F.lit(0.1) * F.col("pop"),
+    ).otherwise(
+        F.lit(0.8) * F.col("content_score") + F.lit(0.2) * F.col("pop")
+    )
+    out = j.withColumn("score", F.round(score, 9))
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("doc_key")
+    )
+    return (
+        out.withColumn("rec_rank", F.row_number().over(wr))
+        .filter(F.col("rec_rank") <= k)
+        .select("user_id", "rec_rank", "doc_key", "score")
+    )
+
+
+def switching_recs(
+    inter: DataFrame,
+    cf_recs: DataFrame,
+    content: DataFrame,
+    popularity: DataFrame,
+    min_cf_interactions: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """→ (user_id, rec_rank, doc_key, score, method): switching fusion
+    (hybrid_recommender.py:391-528) — users with ≥``min_cf_interactions``
+    interactions get pure item-CF; users with fewer get content
+    re-weighted by popularity (``0.7·content + 0.3·pop``). The
+    reference switches per request; here ONE pass tags every user with
+    their method and the two branches union — no per-user dispatch."""
+    counts = inter.groupBy("user_id").agg(F.count("*").alias("n_inter"))
+    cf_users = counts.filter(
+        F.col("n_inter") >= min_cf_interactions
+    ).select("user_id")
+    cf_branch = cf_recs.join(
+        F.broadcast(cf_users), "user_id", "left_semi"
+    ).select(
+        "user_id",
+        "doc_key",
+        F.col("score").alias("raw"),
+        F.lit("cf").alias("method"),
+    )
+    content_branch = (
+        content.join(F.broadcast(cf_users), "user_id", "left_anti")
+        .join(F.broadcast(popularity), "doc_key", "left")
+        .select(
+            "user_id",
+            "doc_key",
+            (
+                F.lit(0.7) * F.col("content_score")
+                + F.lit(0.3) * F.coalesce("popularity", F.lit(0.0))
+            ).alias("raw"),
+            F.lit("content_pop").alias("method"),
+        )
+    )
+    merged = cf_branch.unionByName(content_branch).withColumn(
+        "score", F.round("raw", 9)
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("doc_key")
+    )
+    return (
+        merged.withColumn("rec_rank", F.row_number().over(wr))
+        .filter(F.col("rec_rank") <= k)
+        .select("user_id", "rec_rank", "doc_key", "score", "method")
+    )
+
+
 def hybrid_weighted(
     cf_recs: DataFrame,
     content: DataFrame,
