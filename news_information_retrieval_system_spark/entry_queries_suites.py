@@ -79,6 +79,19 @@ SUITES: dict[str, dict[str, list[str]]] = {
         "conv_durations": [
             "conv_id", "duration_s", "max_gap_s", "min_gap_s", "n_turns",
         ],
+        "conv_maxp_topk": [
+            "conv_id", "n_matching_turns", "query_id", "rank", "score_5dp",
+        ],
+        "conv_sump_topk": [
+            "conv_id", "n_matching_turns", "query_id", "rank", "score_5dp",
+        ],
+        "conv_decay_topk": [
+            "conv_id", "n_matching_turns", "query_id", "rank", "score_5dp",
+        ],
+        "turn_context_topk": [
+            "context_after", "context_before", "conv_id", "doc_id",
+            "query_id", "rank", "score_5dp", "turn_idx",
+        ],
     },
     "suite_digest_recsys": {
         "cf_user_recs": ["doc_id", "rec_rank", "score_5dp", "user_id"],
