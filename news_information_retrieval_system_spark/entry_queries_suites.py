@@ -56,6 +56,10 @@ SUITES: dict[str, dict[str, list[str]]] = {
             "p_at_k_5dp", "query_id", "r_at_k_5dp", "r_prec_5dp",
             "rbp_5dp", "rr_5dp", "success_5dp",
         ],
+        "mmr_topk": ["doc_id", "mmr_rank", "query_id", "score_5dp"],
+        "collapsed_topk": [
+            "doc_id", "n_collapsed", "query_id", "rank", "score_5dp",
+        ],
     },
     "suite_digest_dedup": {
         "content_hashes": ["content_hash", "doc_id"],

@@ -1021,6 +1021,57 @@ def main() -> int:
         "",
     )
 
+    # ------------------------------------------- round-5: SERP post-passes
+    from news_information_retrieval_system_spark import (
+        entry_queries_r12 as R12,
+    )
+
+    p = explain_str(R12.q_mmr_topk(spark, sf_dir))
+    dumps.append(("mmr_topk (MMR diversification)", p))
+    check(
+        "mmr_topk",
+        "pool selection pushes top-k (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "the candidate pool is a per-query top-30 — partial rank before "
+        "the exchange, same as every *_topk plan",
+    )
+    check(
+        "mmr_topk",
+        "pool membership broadcast into the weight table",
+        "BroadcastExchange" in p,
+        "pairwise sims replicate only the ≤30 pool docs per query, never "
+        "the full TF-IDF weight table",
+    )
+    check(
+        "mmr_topk",
+        "greedy loop is Arrow-batched per query group",
+        "FlatMapGroupsInPandas" in p and "BatchEvalPython" not in p,
+        "one applyInPandas group per query over a pool×pool matrix — "
+        "bounded state, no row-at-a-time Python, no driver collect",
+    )
+    check(
+        "mmr_topk",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "the a<b pool self-join is an equi-join on (query_id, term)",
+    )
+
+    p = explain_str(R12.q_collapsed_topk(spark, sf_dir))
+    dumps.append(("collapsed_topk (duplicate collapse)", p))
+    check(
+        "collapsed_topk",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "hash groups come from an equi-join on doc_id",
+    )
+    check(
+        "collapsed_topk",
+        "all JVM (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "FlatMapGroupsInPandas" not in p,
+        "md5 + windows are native expressions end to end",
+    )
+
     spark.stop()
 
     # ------------------------------------------------------------- report
