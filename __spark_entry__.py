@@ -55,8 +55,8 @@ _PRIORITY: list[str] = [
     # grain entries are window-verified via suite_digest_conv (all nine
     # are members — exactly the compression VERDICT #2 proposed for this
     # family), freeing slots for six long-unchecked stalwarts. Effective
-    # ops value-checked this round: 50 window + 42 digest-covered parked
-    # members = 92 (scripts/coverage_counts.py computes this live).
+    # ops value-checked this round: 50 window + 43 digest-covered parked
+    # members = 93 (scripts/coverage_counts.py computes this live).
     # First: never-driver-checked operators VERDICT named (T7 csoundex,
     # T8 ner, T3 fmm), then the round-4-late families.
     "csoundex_codes",
@@ -119,9 +119,9 @@ _PRIORITY: list[str] = [
     # everything below is past the driver's 50-entry window this round; all
     # have green driver rows from r01-r04 (see COVERAGE.md rotation ledger)
     # or are members of an in-window suite digest (full row/value strength).
-    "mmr_topk",             # round-5-late SERP passes: window-verified as
+    "mmr_topk",             # round-5-late additions: window-verified as
     "collapsed_topk",       # suite_digest_lexical members (full row/value
-                            # strength through the in-window digest)
+    "deleted_bm25",         # strength through the in-window digest)
     "hybrid_recs",          # recsys digest members: first-principles SQL
     "cascade_recs",         # oracles run in-window via suite_digest_recsys
     "switching_recs",

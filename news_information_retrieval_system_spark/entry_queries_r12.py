@@ -239,8 +239,68 @@ FROM fin WHERE new_rank <= {COLLAPSE_K}
 """
 
 
+# ---------------------------------------------------------- tombstones
+DEL_EVERY = 11  # delete every 11th doc — the planted deletion set
+
+
+def q_deleted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the tombstone-MASKED index (index/tombstones.py
+    apply_tombstones). The oracle is a from-scratch derivation over the
+    SURVIVING docs only, so a green row proves delete ≡ rebuild —
+    including the recomputed df/idf/avgdl statistics."""
+    from .index.tombstones import apply_tombstones
+    from .query.bm25 import bm25_topk
+
+    tomb = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % DEL_EVERY == 0)
+        .select("doc_id")
+    )
+    idx = apply_tombstones(_index(spark, sf_dir), tomb)
+    out = bm25_topk(idx, _qterms(spark), k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e5(),
+    )
+
+
+ORACLES["deleted_bm25"] = f"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DEL_EVERY} <> 0
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM dd
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+       FROM dd),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, cast(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, df, ln(1 + (s.n_docs - df + 0.5)/(df + 0.5)) AS idf
+        FROM df CROSS JOIN stats s),
+{_qterms_values_sql()},
+{_SQL_BM25_SCORED.strip()},
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, cast(rank AS BIGINT) AS rank,
+       cast(doc_id AS BIGINT) AS doc_id,
+       cast(round(score * 100000) AS BIGINT) AS score_5dp
+FROM rk WHERE rank <= 10
+"""
+
+
 def registry():
     return {
         "mmr_topk": q_mmr_topk,
         "collapsed_topk": q_collapsed_topk,
+        "deleted_bm25": q_deleted_bm25,
     }

@@ -60,6 +60,7 @@ SUITES: dict[str, dict[str, list[str]]] = {
         "collapsed_topk": [
             "doc_id", "n_collapsed", "query_id", "rank", "score_5dp",
         ],
+        "deleted_bm25": ["doc_id", "query_id", "rank", "score_5dp"],
     },
     "suite_digest_dedup": {
         "content_hashes": ["content_hash", "doc_id"],

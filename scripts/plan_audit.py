@@ -1056,6 +1056,28 @@ def main() -> int:
         "the a<b pool self-join is an equi-join on (query_id, term)",
     )
 
+    p = explain_str(R12.q_deleted_bm25(spark, sf_dir))
+    dumps.append(("deleted_bm25 (tombstone-masked BM25)", p))
+    check(
+        "deleted_bm25",
+        "tombstone set broadcast into every anti-join",
+        "BroadcastHashJoin" in p and "LeftAnti" in p,
+        "the deletion mask is tiny next to the corpus — postings/doc/"
+        "stats filtering must never shuffle the big side",
+    )
+    check(
+        "deleted_bm25",
+        "per-query top-k rank pushdown (WindowGroupLimit)",
+        "WindowGroupLimit" in p,
+        "masking must not break the bm25_topk plan shape",
+    )
+    check(
+        "deleted_bm25",
+        "no cartesian product",
+        "CartesianProduct" not in p,
+        "stats recompute uses the broadcast 1-row cross join only",
+    )
+
     p = explain_str(R12.q_collapsed_topk(spark, sf_dir))
     dumps.append(("collapsed_topk (duplicate collapse)", p))
     check(
