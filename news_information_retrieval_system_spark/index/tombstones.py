@@ -121,6 +121,27 @@ def apply_tombstones(
     return FulltextIndex(postings, term_stats, doc_stats, stats, docs, term_agg)
 
 
+def load_masked_index(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    span_bits: int = DEFAULT_SPAN_BITS,
+    codec: str = "varint",
+) -> FulltextIndex:
+    """The operational read path for a segment directory with deletes:
+    hydrate the merged block store (``segments.load_merged_blocks`` +
+    ``index_from_blocks``) and mask it with the directory's tombstone
+    table. Equivalent to a rebuild over the surviving docs (the
+    apply_tombstones guarantee composed with the append ≡ rebuild
+    guarantee of the segment merge)."""
+    from .segments import index_from_blocks, load_merged_blocks
+
+    idx = index_from_blocks(
+        load_merged_blocks(spark, out_dir, span_bits), docs, span_bits, codec
+    )
+    return apply_tombstones(idx, load_tombstones(spark, out_dir))
+
+
 def purge_blocks(
     blocked: DataFrame,
     tombstones: DataFrame,

@@ -87,6 +87,29 @@ def test_purge_blocks_equals_reencode(spark, docs):
     assert _rows(blocked, cols) != a
 
 
+def test_masked_segment_dir_equals_rebuild_ranking(spark, docs, tmp_path):
+    """The full operational path: resumable segment build → tombstone
+    write → load_masked_index ≡ rankings of a from-scratch build over
+    the surviving docs."""
+    from news_information_retrieval_system_spark.index.segments import (
+        build_resumable,
+    )
+    from news_information_retrieval_system_spark.index.tombstones import (
+        load_masked_index,
+    )
+
+    out = str(tmp_path / "seg")
+    build_resumable(spark, docs, out, num_buckets=3)
+    write_tombstones(spark, out, DELETED)
+    masked = load_masked_index(spark, out, docs)
+    rebuilt = build_index(docs.filter(~F.col("doc_id").isin(DELETED)))
+    q = query_terms_df(spark, {"q1": "fast table scan", "q2": "spark join"})
+    cols = ["query_id", "rank", "doc_id"]
+    a = _rows(bm25_topk(masked, q, k=20), cols)
+    b = _rows(bm25_topk(rebuilt, q, k=20), cols)
+    assert a == b and len(a) == 40
+
+
 def test_write_load_roundtrip_appends_and_dedupes(spark, tmp_path):
     out = str(tmp_path / "seg")
     write_tombstones(spark, out, [1, 2, 3])
