@@ -102,7 +102,8 @@ _PRIORITY: list[str] = [
                             # like ltr_train_coefs)
     # ---- the five suite digests (VERDICT #2): each slot re-verifies a
     # whole family of parked entries at full row/value strength ----------
-    "suite_digest_lexical",   # 13 members
+    "suite_digest_lexical",   # 16 members (incl. the round-5-late
+                              # mmr/collapsed/deleted additions)
     "suite_digest_dedup",     # 5 members
     "suite_digest_conv",      # 9 members (the whole conv-grain suite)
     "suite_digest_quality",   # 7 members
