@@ -83,6 +83,43 @@ def test_mmr_first_pick_is_retrieval_top1(spark):
     assert first == top1
 
 
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    # λ=1 removes the redundancy term entirely: the MMR order must equal
+    # the BM25 (score desc, doc asc) order over the pool
+    docs = spark.createDataFrame(
+        [(1, "x y a a"), (2, "x y a a"), (3, "x y b b"), (4, "x c c c")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    scored = score_bm25(idx, _qterms(spark, {"q1": "x y"}))
+    bm25_order = [
+        r["doc_id"] for r in topk(scored, k=4).orderBy("rank").collect()
+    ]
+    mmr_order = [
+        r["doc_id"]
+        for r in mmr_rerank(
+            scored, build_tfidf_weights(idx), k=4, pool=4, lam=1.0
+        )
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert mmr_order == bm25_order
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    # a query matching fewer docs than k yields exactly that many rows
+    docs = spark.createDataFrame(
+        [(1, "x q"), (2, "x w"), (3, "z z")], "doc_id long, text string"
+    )
+    idx = build_index(docs)
+    scored = score_bm25(idx, _qterms(spark, {"q1": "x"}))
+    out = mmr_rerank(
+        scored, build_tfidf_weights(idx), k=10, pool=10
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
 def test_collapse_keeps_best_and_counts(spark):
     docs = spark.createDataFrame(
         [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb")],
